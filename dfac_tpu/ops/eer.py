@@ -1,0 +1,182 @@
+"""Equal Error Rate — the numeric contract of the framework.
+
+Reproduces the reference algorithm exactly (reference:
+``scripts/evaluation.py:7-56``): scores sorted ascending; FAR/FRR curves with
+sentinel endpoints ``FAR[0]=1.0`` / ``FRR[0]=0.0``; EER is the *midpoint* of
+FAR and FRR at the argmin of ``|FAR - FRR|``; the operating threshold is the
+score one position below the crossing (with a +-1e-6 epsilon at the edges).
+This is intentionally *not* the sklearn ROC-interpolation EER — parity with
+the reference leaderboard numbers requires this exact discrete rule.
+
+Two implementations:
+
+* :func:`calculate_eer` — host-side numpy, byte-exact vs the reference.
+* :func:`eer_jax` — device-side jax (sort + cumsum on the VPU), jit-safe and
+  usable inside a pjit'd eval step; agrees with the numpy version everywhere
+  except ties between distinct samples under non-stable sort (ties have
+  measure zero for real model scores; the jax sort is stable so it is
+  deterministic).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+THRESHOLD_EPSILON = 1e-6
+
+
+def calculate_eer(scores, labels) -> tuple[float, float]:
+    """EER and threshold per the reference discrete rule (numpy, host-side).
+
+    Args:
+        scores: array-like of detection scores (higher = more bonafide).
+        labels: array-like of {0,1} labels (1 = bonafide, 0 = spoof).
+
+    Returns:
+        ``(eer, threshold)`` floats. Degenerate single-class input returns
+        ``(0.0, 0.0)`` (reference ``scripts/evaluation.py:18-19``).
+    """
+    scores_np = np.asarray(scores)
+    labels_np = np.asarray(labels)
+
+    order = np.argsort(scores_np, kind="stable")
+    sorted_scores = scores_np[order]
+    sorted_labels = labels_np[order]
+
+    n_bonafide = int(np.sum(labels_np))
+    n_spoof = len(labels_np) - n_bonafide
+    if n_bonafide == 0 or n_spoof == 0:
+        return 0.0, 0.0
+
+    far = np.concatenate(
+        [[1.0], (n_spoof - np.cumsum(sorted_labels == 0)) / n_spoof]
+    )
+    frr = np.concatenate([[0.0], np.cumsum(sorted_labels == 1) / n_bonafide])
+
+    eer_idx = int(np.argmin(np.abs(far - frr)))
+    eer = (far[eer_idx] + frr[eer_idx]) / 2.0
+
+    if eer_idx == 0:
+        threshold = sorted_scores[0] - THRESHOLD_EPSILON
+    elif eer_idx == len(sorted_scores):
+        threshold = sorted_scores[-1] + THRESHOLD_EPSILON
+    else:
+        threshold = sorted_scores[eer_idx - 1]
+
+    return float(eer), float(threshold)
+
+
+def confusion_at_threshold(scores, labels, threshold):
+    """TP/FP/TN/FN + FAR/FRR at a fixed threshold (``pred = score > thr``).
+
+    Mirrors reference ``scripts/evaluation.py:42-56``.
+    """
+    scores_np = np.asarray(scores)
+    labels_np = np.asarray(labels).astype(int)
+
+    pred = (scores_np > threshold).astype(int)
+    tp = int(np.sum((pred == 1) & (labels_np == 1)))
+    fn = int(np.sum((pred == 0) & (labels_np == 1)))
+    fp = int(np.sum((pred == 1) & (labels_np == 0)))
+    tn = int(np.sum((pred == 0) & (labels_np == 0)))
+
+    far = fp / (fp + tn) if (fp + tn) > 0 else 0.0
+    frr = fn / (tp + fn) if (tp + fn) > 0 else 0.0
+    return tp, fp, tn, fn, float(far), float(frr)
+
+
+@jax.jit
+def eer_counts_jax(scores: jax.Array, labels: jax.Array):
+    """Device-side EER crossing search: one sort + two cumsums on TPU.
+
+    The argmin of ``|FAR - FRR|`` is computed **exactly** in integer
+    arithmetic: with ``cs``/``cb`` the cumulative spoof/bonafide counts,
+    ``|FAR - FRR| = |nb*(ns - cs) - ns*cb| / (ns*nb)`` and the constant
+    denominator drops out of the argmin. This makes the crossing index
+    bit-identical to the reference float64 computation regardless of device
+    precision.
+
+    Returns ``(far_num, frr_num, n_spoof, n_bonafide, threshold)`` where
+    ``eer = (far_num/n_spoof + frr_num/n_bonafide) / 2``.
+    """
+    scores = scores.reshape(-1)
+    labels_i = labels.reshape(-1).astype(jnp.int32)
+    n = scores.shape[0]
+
+    order = jnp.argsort(scores, stable=True)
+    sorted_scores = scores[order]
+    sorted_labels = labels_i[order]
+
+    n_bonafide = jnp.sum(labels_i)
+    n_spoof = n - n_bonafide
+
+    # Curves at N+1 positions; index 0 is the sentinel (FAR=1, FRR=0).
+    pad = jnp.zeros((1,), jnp.int32)
+    cum_spoof = jnp.concatenate([pad, jnp.cumsum(sorted_labels == 0, dtype=jnp.int32)])
+    cum_bona = jnp.concatenate([pad, jnp.cumsum(sorted_labels == 1, dtype=jnp.int32)])
+
+    far_num = n_spoof - cum_spoof        # FAR = far_num / n_spoof
+    frr_num = cum_bona                   # FRR = frr_num / n_bonafide
+    diff = jnp.abs(n_bonafide * far_num - n_spoof * frr_num)
+    eer_idx = jnp.argmin(diff)
+
+    threshold = jnp.where(
+        eer_idx == 0,
+        sorted_scores[0] - THRESHOLD_EPSILON,
+        jnp.where(
+            eer_idx == n,
+            sorted_scores[-1] + THRESHOLD_EPSILON,
+            sorted_scores[jnp.maximum(eer_idx - 1, 0)],
+        ),
+    )
+    return far_num[eer_idx], frr_num[eer_idx], n_spoof, n_bonafide, threshold
+
+
+@jax.jit
+def eer_jax(scores: jax.Array, labels: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Fully on-device EER usable inside a jit'd eval step.
+
+    The crossing index is exact (see :func:`eer_counts_jax`); the final
+    division happens in f32 on device, so the returned EER is within ~1e-7 of
+    the reference float64 value. For byte-exact parity use :func:`eer_device`.
+    Degenerate single-class input returns ``(0.0, 0.0)``.
+    """
+    far_num, frr_num, ns, nb, threshold = eer_counts_jax(scores, labels)
+    degenerate = jnp.logical_or(nb == 0, ns == 0)
+    eer = (
+        far_num / jnp.maximum(ns, 1) + frr_num / jnp.maximum(nb, 1)
+    ).astype(jnp.float32) / 2.0
+    zero = jnp.zeros(())
+    return (
+        jnp.where(degenerate, zero, eer),
+        jnp.where(degenerate, zero.astype(threshold.dtype), threshold),
+    )
+
+
+def eer_device(scores, labels) -> tuple[float, float]:
+    """EER computed on device, finalized on host in float64.
+
+    Bit-exact vs :func:`calculate_eer` (the sort, cumsum, and crossing search
+    run on the accelerator; only the two final divisions run on host).
+    """
+    far_num, frr_num, ns, nb, threshold = jax.device_get(
+        eer_counts_jax(jnp.asarray(scores), jnp.asarray(labels))
+    )
+    if ns == 0 or nb == 0:
+        return 0.0, 0.0
+    return (float(far_num) / int(ns) + float(frr_num) / int(nb)) / 2.0, float(threshold)
+
+
+def confusion_at_threshold_jax(scores, labels, threshold):
+    """Device-side confusion counts at a fixed threshold."""
+    labels = labels.reshape(-1).astype(jnp.int32)
+    pred = (scores.reshape(-1) > threshold).astype(jnp.int32)
+    tp = jnp.sum((pred == 1) & (labels == 1))
+    fn = jnp.sum((pred == 0) & (labels == 1))
+    fp = jnp.sum((pred == 1) & (labels == 0))
+    tn = jnp.sum((pred == 0) & (labels == 0))
+    far = jnp.where(fp + tn > 0, fp / jnp.maximum(fp + tn, 1), 0.0)
+    frr = jnp.where(tp + fn > 0, fn / jnp.maximum(tp + fn, 1), 0.0)
+    return tp, fp, tn, fn, far, frr
