@@ -1,0 +1,227 @@
+"""Shared building blocks for the model zoo.
+
+All models are flax.linen modules operating in TPU-native channels-last
+layout (NHWC / NTC); the reference's NCHW tensors are never materialized.
+Blocks here exist to pin down *semantic parity* with the PyTorch reference
+where torch and XLA defaults differ:
+
+* :class:`TorchBatchNorm` — batch statistics use the biased variance, while
+  the running variance is updated with the **unbiased** batch variance
+  (torch's rule). Supports ``axis_name`` so data-parallel training syncs
+  batch stats over the mesh with ``lax.pmean``.
+* :func:`kaiming_uniform_init` / :func:`torch_bias_init` — torch's default
+  ``kaiming_uniform_(a=sqrt(5))`` fan-in initialization, so retrained models
+  share the reference's init distribution.
+* :func:`avg_pool` — floor-mode (VALID) average pooling, matching torch's
+  default shape rule 321 -> 160 (reference ``src/model_cae.py:92-105``).
+* :class:`ConvTranspose2dTorch` — stride-2 kernel-2 transposed conv with
+  torch ``output_padding`` semantics (the extra row/col receives only the
+  bias; reference ``src/model_cae.py:68-69``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def kaiming_uniform_init(a: float = math.sqrt(5.0)):
+    """torch's default weight init for Conv*/Linear.
+
+    ``U(-b, b)`` with ``b = gain * sqrt(3 / fan_in)``, ``gain =
+    sqrt(2 / (1 + a^2))``. For flax kernels fan_in is the product of all
+    dimensions except the last (output features).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = math.prod(int(s) for s in shape[:-1])
+        gain = math.sqrt(2.0 / (1.0 + a * a))
+        bound = gain * math.sqrt(3.0 / fan_in)
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default bias init: ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact train/eval semantics.
+
+    Normalizes over all axes except the last (channel) axis. In training,
+    batch statistics use the biased variance; the running variance is updated
+    with the *unbiased* batch variance (torch's rule, which flax's BatchNorm
+    does not follow). ``axis_name`` enables cross-device stat reduction for
+    data-parallel training (SURVEY.md §7 hard part c).
+    """
+
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        num_features = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((num_features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((num_features,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones_init(), (num_features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (num_features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            n = math.prod(x.shape[:-1])
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+def avg_pool(x: jax.Array, window: Sequence[int], strides: Sequence[int] | None = None) -> jax.Array:
+    """Floor-mode average pooling over the spatial dims of an NHWC/NTC array.
+
+    ``window`` covers the non-batch, non-channel axes. VALID padding
+    reproduces torch's default floor division shape rule.
+    """
+    strides = tuple(strides) if strides is not None else tuple(window)
+    return nn.avg_pool(x, window_shape=tuple(window), strides=strides, padding="VALID")
+
+
+class Conv(nn.Module):
+    """3x3/SAME-style conv with torch-default initialization, NHWC."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    padding: Any = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        fan_in = in_features * math.prod(self.kernel_size) // self.feature_group_count
+        return nn.Conv(
+            features=self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=kaiming_uniform_init(),
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            # f32 mode needs full-precision MXU passes for torch parity; in
+            # bf16 compute mode the default (fast) precision is the point.
+            precision=None if self.dtype is not None else jax.lax.Precision.HIGHEST,
+            name="conv",
+        )(x)
+
+
+class Dense(nn.Module):
+    """Linear layer with torch-default initialization."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=kaiming_uniform_init(),
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            precision=None if self.dtype is not None else jax.lax.Precision.HIGHEST,
+            name="dense",
+        )(x)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed conv, kernel=2 stride=2, with torch ``output_padding``.
+
+    VALID transposed conv gives out = 2*in per axis; ``output_padding``
+    appends rows/cols that receive no input contribution — in torch these
+    evaluate to the bias alone, which is reproduced here by padding the
+    pre-bias output with zeros and adding the bias afterwards.
+    """
+
+    features: int
+    output_padding: tuple[int, int] = (0, 0)
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        fan_in = in_features * 4  # kernel 2x2
+        y = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            use_bias=False,
+            kernel_init=kaiming_uniform_init(),
+            dtype=self.dtype,
+            precision=None if self.dtype is not None else jax.lax.Precision.HIGHEST,
+            name="convt",
+        )(x)
+        op_h, op_w = self.output_padding
+        if op_h or op_w:
+            y = jnp.pad(y, ((0, 0), (0, op_h), (0, op_w), (0, 0)))
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        return y + bias
+
+
+class ChannelDropout(nn.Module):
+    """torch ``Dropout1d``/``Dropout2d``: zero whole channels per sample.
+
+    Mask shape is (B, 1, ..., C): each sample independently drops entire
+    feature maps, scaled by 1/(1-rate).
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+        mask = jax.random.bernoulli(key, keep, mask_shape)
+        return jnp.where(mask, x / keep, 0.0)
