@@ -1,0 +1,110 @@
+"""Dense dataset container + static-shape batch pipeline.
+
+Replaces the reference's DataLoader/Dataset stack (``src/dataset.py``,
+``src/dataloaders.py``): instead of per-row Python objects fed by worker
+subprocesses, a corpus is one dense ``[N, F, T]`` numpy array; batching is
+index arithmetic; the time/feature axis swap, normalization, padding, and
+augmentation all happen on device inside the jit'd step.
+
+TPU contract: every batch has the same static shape. The final partial
+batch is padded up to ``batch_size`` and carries a weight vector (1 for
+real rows, 0 for padding) so that loss averages and score collection are
+bit-equivalent to the reference's partial-batch semantics
+(``src/train.py:78-80`` loss * B accumulation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from dfac_tpu.io.pickle_io import align_labels, load_features, load_labels
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """A corpus: uttids + dense stored-orientation features [N, F, T]."""
+
+    uttids: list[str]
+    features: np.ndarray  # (N, F, T) float32, stored orientation
+    labels: np.ndarray | None = None  # (N,) int32
+    lengths: np.ndarray | None = None  # (N,) int32 valid time frames
+
+    def __len__(self) -> int:
+        return len(self.uttids)
+
+    def filter_label(self, label: int) -> "ArrayDataset":
+        """Bonafide-only view (reference ``BonafideDataset``,
+        ``src/dataset_cae.py:57-86``)."""
+        if self.labels is None:
+            raise ValueError("dataset has no labels")
+        keep = np.nonzero(self.labels == label)[0]
+        return ArrayDataset(
+            uttids=[self.uttids[i] for i in keep],
+            features=self.features[keep],
+            labels=self.labels[keep],
+            lengths=None if self.lengths is None else self.lengths[keep],
+        )
+
+
+def load_dataset(features_path: str, labels_path: str | None = None) -> ArrayDataset:
+    """Load features (+ optionally labels inner-merged on uttid, strict)."""
+    uttids, feats = load_features(features_path)
+    labels = None
+    if labels_path is not None:
+        luttids, raw = load_labels(labels_path)
+        labels = align_labels(uttids, luttids, raw)
+    return ArrayDataset(uttids=uttids, features=feats, labels=labels)
+
+
+@dataclasses.dataclass
+class Batch:
+    """One static-shape step input (host numpy; jit moves it to device)."""
+
+    features: np.ndarray  # (B, F, T) stored orientation
+    labels: np.ndarray  # (B,) float32 (zeros if unlabeled)
+    weights: np.ndarray  # (B,) float32; 0 marks padding rows
+    index: np.ndarray  # (B,) int32 row ids into the dataset (-1 padding)
+
+
+def pad_to_batch(arr: np.ndarray, batch_size: int, pad_value=0) -> np.ndarray:
+    n = arr.shape[0]
+    if n == batch_size:
+        return arr
+    pad = np.full((batch_size - n, *arr.shape[1:]), pad_value, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def batch_iterator(
+    ds: ArrayDataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int | None = None,
+    drop_last: bool = False,
+) -> Iterator[Batch]:
+    """Static-shape batches; the tail batch is zero-padded with weight 0."""
+    n = len(ds)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    labels = ds.labels if ds.labels is not None else np.zeros(n, np.int32)
+
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size and drop_last:
+            return
+        feats = ds.features[idx]
+        labs = labels[idx].astype(np.float32)
+        w = np.ones(len(idx), np.float32)
+        yield Batch(
+            features=pad_to_batch(feats, batch_size),
+            labels=pad_to_batch(labs, batch_size),
+            weights=pad_to_batch(w, batch_size),
+            index=pad_to_batch(idx.astype(np.int32), batch_size, pad_value=-1),
+        )
+
+
+def num_batches(n: int, batch_size: int, drop_last: bool = False) -> int:
+    return n // batch_size if drop_last else -(-n // batch_size)

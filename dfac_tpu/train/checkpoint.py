@@ -1,0 +1,87 @@
+"""Checkpoint subsystem.
+
+Feature-parity target: reference ``src/training/checkpoint.py`` — a single
+file holding ``{model_state, optimizer_state, epoch, config,
+scheduler_state?}`` with a ~17-field hyperparameter snapshot
+(``build_config_dict``, reference ``:8-39``), plus the tolerance rule that
+consumers accept both wrapped dicts and raw model states
+(``src/evaluation.py:197-200``).
+
+Format: a pickled dict whose arrays are host numpy (device-independent,
+readable without jax). ``load_model_variables`` additionally accepts
+reference PyTorch ``.pt`` checkpoints and converts them through
+:mod:`dfac_tpu.utils.torch_import`, so trained reference models drop
+straight into the TPU inference path.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), tree)
+
+
+def build_config_dict(args: Any) -> dict:
+    """Snapshot hyperparameters from an argparse Namespace / dataclass
+    (reference ``src/training/checkpoint.py:8-39``)."""
+    fields = [
+        "model", "batch_size", "epochs", "lr", "weight_decay", "early_stop",
+        "lr_scheduler", "lr_scheduler_metric", "lr_scheduler_factor",
+        "lr_scheduler_patience", "lr_scheduler_threshold", "lr_scheduler_min_lr",
+        "in_features", "hidden_dim", "dropout", "seed", "label_smoothing",
+        "swap_tf", "spec_augment",
+    ]
+    src = vars(args) if not isinstance(args, dict) else args
+    return {k: src[k] for k in fields if k in src}
+
+
+def save_checkpoint(
+    path: str,
+    variables: dict,
+    opt_state: Any = None,
+    epoch: int = 0,
+    config: dict | None = None,
+    scheduler_state: dict | None = None,
+) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "format": "dfac_tpu.v1",
+        "model_state": _to_numpy(variables),
+        "optimizer_state": None if opt_state is None else _to_numpy(opt_state),
+        "epoch": int(epoch),
+        "config": config or {},
+    }
+    if scheduler_state is not None:
+        payload["scheduler_state"] = scheduler_state
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        ckpt = pickle.load(f)
+    if isinstance(ckpt, dict) and "model_state" in ckpt:
+        return ckpt
+    # raw variables pytree (params/batch_stats) — wrap it
+    return {"model_state": ckpt, "optimizer_state": None, "epoch": 0, "config": {}}
+
+
+def load_model_variables(path: str, model_name: str | None = None) -> dict:
+    """Load flax model variables from either a dfac_tpu checkpoint or a
+    reference PyTorch ``.pt`` file (auto-detected)."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:2] == b"PK" or path.endswith(".pt"):  # torch zipfile / legacy
+        if model_name is None:
+            raise ValueError("model_name is required to import a torch checkpoint")
+        from dfac_tpu.utils.torch_import import load_reference_checkpoint
+
+        return load_reference_checkpoint(model_name, path)
+    return load_checkpoint(path)["model_state"]

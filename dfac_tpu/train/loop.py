@@ -1,0 +1,354 @@
+"""Supervised training driver.
+
+Feature-parity target: reference ``src/train.py`` (call stack SURVEY.md
+§3.1). The epoch body — swap, augmentation, forward, label-smoothed BCE,
+backward, optimizer update, BatchNorm stat update — is **one jit-compiled
+train_step**; the host loop only orchestrates batches, evaluation, the
+best-checkpoint rule, LR plateau scheduling, early stopping, and visualizer
+events.
+
+Exact reference semantics preserved:
+
+* best-checkpoint rule (``src/train.py:484-518``): dev EER strictly lower
+  wins; on an EER tie within 1e-4, both train loss and dev loss must
+  improve by > 1e-6;
+* early stop counts epochs without *EER* improvement only (``:556-561``);
+* ReduceLROnPlateau monitors dev_eer or dev_loss (``:520-525``);
+* loss averaging weights each batch by its true sample count (``:78-80``),
+  reproduced under static-shape padding via per-row weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from dfac_tpu.data.augment import AugmentConfig, build_augment_fn
+from dfac_tpu.data.pipeline import ArrayDataset, batch_iterator, num_batches
+from dfac_tpu.models import build_model
+from dfac_tpu.obs.base import BatchMetrics, EpochMetrics, TrainingConfig, TrainingVisualizer
+from dfac_tpu.obs.noop import NoOpVisualizer
+from dfac_tpu.train import checkpoint as ckpt_lib
+from dfac_tpu.train.evaluate import evaluate_classifier
+from dfac_tpu.train.optim import PlateauScheduler, build_optimizer, smooth_labels
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    key: jax.Array
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """The reference train.py flag surface (``src/train.py:94-246``)."""
+
+    model: str = "cnn2d"
+    batch_size: int = 32
+    epochs: int = 10
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    early_stop: int = 0
+    lr_scheduler: str = "none"  # none | plateau
+    lr_scheduler_metric: str = "dev_eer"  # dev_eer | dev_loss
+    lr_scheduler_factor: float = 0.5
+    lr_scheduler_patience: int = 2
+    lr_scheduler_threshold: float = 1e-4
+    lr_scheduler_min_lr: float = 1e-6
+    in_features: int = 180
+    hidden_dim: int = 128
+    dropout: float = 0.2
+    seed: int = 0
+    label_smoothing: float = 0.0
+    swap_tf: bool = True
+    augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
+    eval_batch_size: int | None = None
+    compute_dtype: str | None = None  # None (f32) | "bfloat16"
+
+    def __post_init__(self):
+        if not (0.0 <= self.label_smoothing < 0.5):
+            raise ValueError("label_smoothing must be in [0, 0.5)")
+
+
+def _model_kwargs(cfg: TrainConfig) -> dict:
+    kw: dict[str, Any] = {
+        "in_features": cfg.in_features,
+        "dropout": cfg.dropout,
+        "hidden_dim": cfg.hidden_dim,
+        "in_channels": cfg.in_features,
+    }
+    if cfg.compute_dtype:
+        kw["compute_dtype"] = jnp.dtype(cfg.compute_dtype)
+    return kw
+
+
+def make_train_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    swap_tf: bool,
+    label_smoothing: float,
+    augment_fn: Callable | None,
+):
+    """Build the jit'd supervised train step (one fused device program)."""
+
+    @jax.jit
+    def train_step(state: TrainState, feats, labels, weights):
+        next_key, aug_key, drop_key = jax.random.split(state.key, 3)
+        x = jnp.transpose(feats, (0, 2, 1)) if swap_tf else feats
+        if augment_fn is not None:
+            x = augment_fn(aug_key, x)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": drop_key}
+            )
+            logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
+            per = optax.sigmoid_binary_cross_entropy(logits, smooth_labels(labels, label_smoothing))
+            denom = jnp.maximum(jnp.sum(weights), 1.0)
+            loss = jnp.sum(per * weights) / denom
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+            key=next_key,
+        )
+        count = jnp.sum(weights)
+        return new_state, loss * count, count
+
+    return train_step
+
+
+def _set_opt_lr(opt_state, lr: float):
+    """Functionally update the injected learning_rate hyperparameter."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+class Trainer:
+    """Host-side orchestration of the supervised training loop."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        visualizer: TrainingVisualizer | None = None,
+        model: Any | None = None,
+    ):
+        self.cfg = cfg
+        self.visualizer = visualizer or NoOpVisualizer()
+        self.model = model if model is not None else build_model(cfg.model, **_model_kwargs(cfg))
+        self.tx = build_optimizer(cfg.model, cfg.lr, cfg.weight_decay)
+        self.augment_fn = build_augment_fn(cfg.augment)
+        self.scheduler = (
+            PlateauScheduler(
+                factor=cfg.lr_scheduler_factor,
+                patience=cfg.lr_scheduler_patience,
+                threshold=cfg.lr_scheduler_threshold,
+                min_lr=cfg.lr_scheduler_min_lr,
+            )
+            if cfg.lr_scheduler == "plateau"
+            else None
+        )
+        self._train_step = make_train_step(
+            self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
+        )
+        self.history: list[EpochMetrics] = []
+        self.state: TrainState | None = None
+        self._lr = cfg.lr
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, example_batch: np.ndarray) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.key(cfg.seed)
+        init_key, state_key = jax.random.split(key)
+        x = jnp.asarray(example_batch[:1])
+        if cfg.swap_tf:
+            x = jnp.transpose(x, (0, 2, 1))
+        variables = self.model.init({"params": init_key, "dropout": init_key}, x)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        self.state = TrainState(
+            params=params, batch_stats=batch_stats, opt_state=opt_state, key=state_key
+        )
+        return self.state
+
+    def variables(self) -> dict:
+        v = {"params": self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    # -- loop -------------------------------------------------------------
+    def train_epoch(self, ds: ArrayDataset, epoch: int, batch_ctx=None) -> float | None:
+        cfg = self.cfg
+        total_loss, total_count = 0.0, 0
+        for i, batch in enumerate(
+            batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed * 100003 + epoch)
+        ):
+            self.state, loss_sum, count = self._train_step(
+                self.state,
+                jnp.asarray(batch.features),
+                jnp.asarray(batch.labels),
+                jnp.asarray(batch.weights),
+            )
+            total_loss += float(loss_sum)
+            total_count += int(count)
+            if batch_ctx is not None and total_count > 0:
+                batch_ctx.update_batch(
+                    BatchMetrics(batch_idx=i, running_loss=total_loss / total_count, batch_size=int(count))
+                )
+        return (total_loss / total_count) if total_count else None
+
+    def fit(
+        self,
+        train_ds: ArrayDataset,
+        dev_ds: ArrayDataset,
+        checkpoint_dir: str | None = None,
+        config_snapshot: dict | None = None,
+    ) -> dict:
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state(train_ds.features[: max(cfg.batch_size, 1)])
+
+        self.visualizer.on_training_start(
+            TrainingConfig(
+                device=str(jax.devices()[0]).lower(),
+                model=cfg.model,
+                epochs=cfg.epochs,
+                batch_size=cfg.batch_size,
+                learning_rate=cfg.lr,
+                weight_decay=cfg.weight_decay,
+                early_stop_patience=cfg.early_stop,
+                in_features=cfg.in_features,
+                hidden_dim=cfg.hidden_dim,
+                dropout=cfg.dropout,
+            )
+        )
+
+        best_eer = None
+        best_train_loss = None
+        best_dev_loss = None
+        prev_metrics: EpochMetrics | None = None
+        epochs_no_improve = 0
+        eer_tie_eps = 1e-4
+        loss_improve_eps = 1e-6
+        best_path = last_path = None
+        if checkpoint_dir:
+            import os
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            best_path = os.path.join(checkpoint_dir, f"{cfg.model}_best.ckpt")
+            last_path = os.path.join(checkpoint_dir, f"{cfg.model}_last.ckpt")
+
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.perf_counter()
+            with self.visualizer.on_epoch_start(
+                epoch, num_batches(len(train_ds), cfg.batch_size)
+            ) as batch_ctx:
+                train_loss = self.train_epoch(train_ds, epoch, batch_ctx)
+
+            dev_metrics, _, _ = evaluate_classifier(
+                self.model,
+                self.variables(),
+                dev_ds,
+                batch_size=cfg.eval_batch_size or cfg.batch_size,
+                swap_tf=cfg.swap_tf,
+                label_smoothing=cfg.label_smoothing,
+            )
+            eer = dev_metrics["eer"]
+            dev_loss = dev_metrics["avg_loss"]
+            elapsed = time.perf_counter() - t0
+
+            # best rule (reference src/train.py:484-518)
+            is_best = False
+            if eer is not None:
+                if best_eer is None or eer < best_eer:
+                    is_best = True
+                    best_eer, best_train_loss, best_dev_loss = eer, train_loss, dev_loss
+                    epochs_no_improve = 0
+                else:
+                    epochs_no_improve += 1
+                    if (
+                        abs(eer - best_eer) <= eer_tie_eps
+                        and None not in (train_loss, dev_loss, best_train_loss, best_dev_loss)
+                        and train_loss < best_train_loss - loss_improve_eps
+                        and dev_loss < best_dev_loss - loss_improve_eps
+                    ):
+                        is_best = True
+                        best_train_loss, best_dev_loss = train_loss, dev_loss
+
+            if self.scheduler is not None:
+                metric = dev_loss if cfg.lr_scheduler_metric == "dev_loss" else eer
+                if metric is not None:
+                    new_lr = self.scheduler.step(metric, self._lr)
+                    if new_lr != self._lr:
+                        self._lr = new_lr
+                        self.state = self.state.replace(
+                            opt_state=_set_opt_lr(self.state.opt_state, new_lr)
+                        )
+
+            improved = (
+                prev_metrics is not None
+                and prev_metrics.dev_eer is not None
+                and eer is not None
+                and eer < prev_metrics.dev_eer
+            )
+            metrics = EpochMetrics(
+                epoch=epoch,
+                train_loss=train_loss,
+                dev_loss=dev_loss,
+                dev_eer=eer,
+                is_best=is_best,
+                improved=improved,
+                epochs_no_improve=epochs_no_improve,
+                learning_rate=self._lr,
+                epoch_seconds=elapsed,
+                throughput_utt_s=len(train_ds) / elapsed if elapsed > 0 else None,
+            )
+            self.visualizer.on_epoch_end(metrics, prev_metrics)
+
+            if is_best and best_path:
+                self._save(best_path, epoch, config_snapshot)
+            self.history.append(metrics)
+            prev_metrics = metrics
+
+            if cfg.early_stop and epochs_no_improve >= cfg.early_stop:
+                break
+
+        self.visualizer.on_training_end(self.history)
+        if last_path:
+            last_epoch = self.history[-1].epoch if self.history else 0
+            self._save(last_path, last_epoch, config_snapshot)
+        return {
+            "best_eer": best_eer,
+            "best_train_loss": best_train_loss,
+            "best_dev_loss": best_dev_loss,
+            "history": self.history,
+        }
+
+    def _save(self, path: str, epoch: int, config_snapshot: dict | None):
+        ckpt_lib.save_checkpoint(
+            path,
+            self.variables(),
+            opt_state=self.state.opt_state,
+            epoch=epoch,
+            config=config_snapshot or dataclasses.asdict(self.cfg),
+            scheduler_state=self.scheduler.state_dict() if self.scheduler else None,
+        )

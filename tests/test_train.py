@@ -1,0 +1,140 @@
+"""Training runtime tests: optimizer policy, plateau scheduler (golden vs
+torch), end-to-end convergence on separable synthetic data, checkpoints."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dfac_tpu.data.pipeline import ArrayDataset
+from dfac_tpu.train.checkpoint import load_checkpoint, load_model_variables, save_checkpoint
+from dfac_tpu.train.evaluate import evaluate_classifier, predict_scores
+from dfac_tpu.train.loop import TrainConfig, Trainer
+from dfac_tpu.train.optim import PlateauScheduler, build_optimizer
+
+
+def _separable_dataset(rng, n=48, t=40, f=16):
+    """Bonafide has +mu on half the feature dims: linearly separable."""
+    labels = (np.arange(n) % 2).astype(np.int32)
+    feats = rng.normal(size=(n, f, t)).astype(np.float32)
+    feats[labels == 1, : f // 2, :] += 2.0
+    return ArrayDataset(
+        uttids=[f"u{i}" for i in range(n)], features=feats, labels=labels
+    )
+
+
+def test_optimizer_policy():
+    import optax
+
+    assert isinstance(build_optimizer("cnn2d", 1e-3), optax.GradientTransformation)
+    # cnn* default to AdamW(0.01): hyperparams include weight_decay
+    state = build_optimizer("cnn2d", 1e-3).init({"w": np.zeros(2, np.float32)})
+    assert float(state.hyperparams["weight_decay"]) == pytest.approx(0.01)
+    state = build_optimizer("meanpool_mlp", 1e-3).init({"w": np.zeros(2, np.float32)})
+    assert "weight_decay" not in state.hyperparams
+    state = build_optimizer("meanpool_mlp", 1e-3, weight_decay=0.05).init({"w": np.zeros(2, np.float32)})
+    assert float(state.hyperparams["weight_decay"]) == pytest.approx(0.05)
+
+
+def test_plateau_scheduler_matches_torch():
+    torch = pytest.importorskip("torch")
+    metrics = [1.0, 0.9, 0.89, 0.895, 0.894, 0.893, 0.40, 0.41, 0.42, 0.43, 0.39, 0.39, 0.39]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-3)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=2, threshold=1e-4, min_lr=1e-6
+    )
+    ours = PlateauScheduler(factor=0.5, patience=2, threshold=1e-4, min_lr=1e-6)
+    lr = 1e-3
+    for m in metrics:
+        tsched.step(m)
+        lr = ours.step(m, lr)
+        assert lr == pytest.approx(opt.param_groups[0]["lr"], rel=1e-12), m
+
+
+def test_plateau_state_roundtrip():
+    s = PlateauScheduler(factor=0.3, patience=1)
+    s.step(1.0, 1e-3)
+    s.step(1.1, 1e-3)
+    s2 = PlateauScheduler.from_state_dict(s.state_dict())
+    assert s2.best == s.best and s2.num_bad_epochs == s.num_bad_epochs
+
+
+@pytest.mark.parametrize("model_name", ["cnn2d", "cnn1d"])
+def test_training_converges_on_separable_data(rng, model_name, tmp_path):
+    train_ds = _separable_dataset(rng)
+    dev_ds = _separable_dataset(np.random.default_rng(1), n=24)
+    cfg = TrainConfig(
+        model=model_name, batch_size=16, epochs=4, lr=2e-3, seed=0,
+        in_features=16, early_stop=0, lr_scheduler="plateau",
+        label_smoothing=0.05,
+    )
+    trainer = Trainer(cfg)
+    result = trainer.fit(train_ds, dev_ds, checkpoint_dir=str(tmp_path))
+    assert result["best_eer"] is not None
+    assert result["best_eer"] <= 0.1  # separable -> near-zero EER
+    assert (tmp_path / f"{model_name}_best.ckpt").exists()
+    assert (tmp_path / f"{model_name}_last.ckpt").exists()
+
+    # reload best checkpoint and re-evaluate: same EER
+    variables = load_model_variables(str(tmp_path / f"{model_name}_best.ckpt"))
+    metrics, scores, labels = evaluate_classifier(
+        trainer.model, variables, dev_ds, batch_size=16, swap_tf=True
+    )
+    assert metrics["eer"] <= 0.1
+    assert len(scores) == len(dev_ds)
+
+    ckpt = load_checkpoint(str(tmp_path / f"{model_name}_best.ckpt"))
+    assert ckpt["config"]["model"] == model_name
+    assert ckpt["epoch"] >= 1
+
+
+def test_training_with_augmentation_still_learns(rng):
+    from dfac_tpu.data.augment import AugmentConfig
+
+    train_ds = _separable_dataset(rng)
+    dev_ds = _separable_dataset(np.random.default_rng(2), n=24)
+    cfg = TrainConfig(
+        model="cnn1d", batch_size=16, epochs=3, lr=2e-3, in_features=16,
+        augment=AugmentConfig(spec_augment=True, time_shift=True, gaussian_jitter=True),
+    )
+    result = Trainer(cfg).fit(train_ds, dev_ds)
+    assert result["best_eer"] is not None and result["best_eer"] <= 0.25
+
+
+def test_early_stopping_triggers(rng):
+    # lr=0 -> nothing improves after epoch 1 -> early stop at patience
+    train_ds = _separable_dataset(rng, n=16)
+    dev_ds = _separable_dataset(np.random.default_rng(3), n=16)
+    cfg = TrainConfig(model="cnn1d", batch_size=16, epochs=50, lr=0.0, in_features=16, early_stop=2)
+    trainer = Trainer(cfg)
+    result = trainer.fit(train_ds, dev_ds)
+    assert len(result["history"]) <= 4  # 1 best + 2 patience (+ slack for ties)
+
+
+def test_predict_scores_order_and_sigmoid(rng):
+    ds = _separable_dataset(rng, n=10)
+    cfg = TrainConfig(model="cnn1d", batch_size=4, epochs=1, in_features=16)
+    trainer = Trainer(cfg)
+    trainer.init_state(ds.features[:4])
+    logits = predict_scores(trainer.model, trainer.variables(), ds, batch_size=4)
+    probs = predict_scores(trainer.model, trainer.variables(), ds, batch_size=4, apply_sigmoid=True)
+    assert logits.shape == probs.shape == (10,)
+    np.testing.assert_allclose(probs, 1 / (1 + np.exp(-logits)), atol=1e-6)
+
+
+def test_checkpoint_raw_state_tolerance(tmp_path, rng):
+    """Consumers accept raw variable pytrees (reference src/evaluation.py:197-200)."""
+    import pickle
+
+    variables = {"params": {"w": rng.normal(size=(3, 3)).astype(np.float32)}}
+    p = str(tmp_path / "raw.ckpt")
+    with open(p, "wb") as f:
+        pickle.dump(variables, f)
+    out = load_model_variables(p)
+    np.testing.assert_array_equal(out["params"]["w"], variables["params"]["w"])
+
+
+def test_label_smoothing_validation():
+    with pytest.raises(ValueError):
+        TrainConfig(label_smoothing=0.6)
