@@ -1,0 +1,292 @@
+"""CAE (anomaly) training + evaluation.
+
+Feature-parity targets:
+
+* Trainer — reference ``src/train_cae.py``: bonafide-only MSE reconstruction
+  training on normalized, swapped (T, F) spectrograms; AdamW lr=1e-4
+  wd=1e-4; ReduceLROnPlateau(patience=7) on validation MSE; early stop 10;
+  best = min bonafide-dev reconstruction MSE; artifacts ``cae_best`` /
+  ``cae_last`` / normalizer sidecar.
+* Evaluator — reference ``src/evaluation_cae.py``: per-sample MSE over
+  (T, F); **dual scoring convention** (EER computed for both -MSE and +MSE,
+  keep the better; on this corpus fakes reconstruct *better*, so +MSE is the
+  bonafide score — ``results/cae_v7_dev_eval.txt:16-18``); per-class mean
+  MSE and spoof/bonafide ratio report.
+
+The train step (normalize -> forward -> masked MSE -> update) is one jit'd
+program; scoring batches the whole corpus on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dfac_tpu.data.normalizer import FeatureNormalizer, build_normalizer
+from dfac_tpu.data.pipeline import ArrayDataset, batch_iterator
+from dfac_tpu.models import build_model
+from dfac_tpu.models.cae import reconstruction_mse
+from dfac_tpu.obs.base import BatchMetrics, EpochMetrics, TrainingConfig, TrainingVisualizer
+from dfac_tpu.obs.noop import NoOpVisualizer
+from dfac_tpu.ops.eer import eer_device
+from dfac_tpu.train import checkpoint as ckpt_lib
+from dfac_tpu.train.loop import TrainState, _set_opt_lr
+from dfac_tpu.train.optim import PlateauScheduler
+
+
+@dataclasses.dataclass
+class CAEConfig:
+    """Reference train_cae.py defaults (``src/train_cae.py:114-126``)."""
+
+    batch_size: int = 32
+    epochs: int = 80
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    lr_scheduler_patience: int = 7
+    lr_scheduler_factor: float = 0.5
+    early_stop: int = 10
+    base_channels: int = 32
+    seed: int = 0
+    swap_tf: bool = True
+    eval_batch_size: int | None = None
+
+
+def make_cae_train_step(model, tx, mean, std):
+    @jax.jit
+    def train_step(state: TrainState, feats, weights):
+        next_key, drop_key = jax.random.split(state.key)
+        x = (jnp.transpose(feats, (0, 2, 1)) - mean) / std  # swap + normalize on device
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (recon, _), mutated = model.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": drop_key}
+            )
+            per = reconstruction_mse(recon, x)  # (B,)
+            denom = jnp.maximum(jnp.sum(weights), 1.0)
+            return jnp.sum(per * weights) / denom, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        count = jnp.sum(weights)
+        return (
+            state.replace(
+                params=new_params,
+                batch_stats=mutated.get("batch_stats", state.batch_stats),
+                opt_state=new_opt_state,
+                key=next_key,
+            ),
+            loss * count,
+            count,
+        )
+
+    return train_step
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _cae_score_step(model, variables, feats, mean, std):
+    x = (jnp.transpose(feats, (0, 2, 1)) - mean) / std
+    recon, _ = model.apply(variables, x)
+    return reconstruction_mse(recon, x)
+
+
+def cae_mse_scores(
+    model, variables, ds: ArrayDataset, normalizer: FeatureNormalizer, batch_size: int = 128
+) -> np.ndarray:
+    """Per-utterance reconstruction MSE, dataset order."""
+    mean = jnp.asarray(normalizer.mean)
+    std = jnp.asarray(normalizer.std)
+    out = []
+    for batch in batch_iterator(ds, batch_size):
+        mse = _cae_score_step(model, variables, jnp.asarray(batch.features), mean, std)
+        out.append(np.asarray(mse)[batch.weights > 0])
+    return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+
+def evaluate_cae(
+    model, variables, ds: ArrayDataset, normalizer: FeatureNormalizer, batch_size: int = 128
+) -> dict:
+    """Dual-convention CAE evaluation (reference ``src/evaluation_cae.py:50-87``)."""
+    if ds.labels is None:
+        raise ValueError("evaluate_cae needs labels")
+    mse = cae_mse_scores(model, variables, ds, normalizer, batch_size)
+    labels = np.asarray(ds.labels)
+    eer_neg, thr_neg = eer_device(-mse, labels)
+    eer_pos, thr_pos = eer_device(mse, labels)
+    if eer_pos <= eer_neg:
+        convention, eer, thr = "+mse", eer_pos, thr_pos
+    else:
+        convention, eer, thr = "-mse", eer_neg, thr_neg
+    bona = mse[labels == 1]
+    spoof = mse[labels == 0]
+    return {
+        "eer": eer,
+        "threshold": thr,
+        "convention": convention,
+        "eer_pos_mse": eer_pos,
+        "eer_neg_mse": eer_neg,
+        "bonafide_mean_mse": float(bona.mean()) if len(bona) else None,
+        "spoof_mean_mse": float(spoof.mean()) if len(spoof) else None,
+        "spoof_bonafide_ratio": (
+            float(spoof.mean() / bona.mean()) if len(bona) and len(spoof) else None
+        ),
+        "scores": mse,
+    }
+
+
+class CAETrainer:
+    def __init__(self, cfg: CAEConfig, visualizer: TrainingVisualizer | None = None):
+        self.cfg = cfg
+        self.visualizer = visualizer or NoOpVisualizer()
+        self.model = build_model("cae", base_channels=cfg.base_channels)
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, weight_decay=cfg.weight_decay
+        )
+        self.scheduler = PlateauScheduler(
+            factor=cfg.lr_scheduler_factor, patience=cfg.lr_scheduler_patience
+        )
+        self.state: TrainState | None = None
+        self.normalizer: FeatureNormalizer | None = None
+        self._lr = cfg.lr
+        self.history: list[EpochMetrics] = []
+
+    def variables(self) -> dict:
+        v = {"params": self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    def _validate(self, ds: ArrayDataset) -> float:
+        """Bonafide-dev mean reconstruction MSE (reference ``:85-105``)."""
+        scores = cae_mse_scores(
+            self.model, self.variables(), ds, self.normalizer,
+            self.cfg.eval_batch_size or self.cfg.batch_size,
+        )
+        return float(scores.mean()) if len(scores) else float("nan")
+
+    def fit(
+        self,
+        train_ds: ArrayDataset,
+        dev_ds: ArrayDataset,
+        checkpoint_dir: str | None = None,
+        normalizer: FeatureNormalizer | None = None,
+    ) -> dict:
+        """``train_ds``/``dev_ds`` are full labeled datasets; bonafide-only
+        filtering and normalizer fitting happen here (reference
+        ``src/train_cae.py:176-194``)."""
+        cfg = self.cfg
+        bona_train = train_ds.filter_label(1) if train_ds.labels is not None else train_ds
+        bona_dev = dev_ds.filter_label(1) if dev_ds.labels is not None else dev_ds
+
+        self.normalizer = normalizer or build_normalizer(
+            train_ds.features, train_ds.labels, swap_tf=cfg.swap_tf
+        )
+        mean = jnp.asarray(self.normalizer.mean)
+        std = jnp.asarray(self.normalizer.std)
+        train_step = make_cae_train_step(self.model, self.tx, mean, std)
+
+        key = jax.random.key(cfg.seed)
+        init_key, state_key = jax.random.split(key)
+        x0 = jnp.transpose(jnp.asarray(bona_train.features[:1]), (0, 2, 1))
+        variables = self.model.init({"params": init_key, "dropout": init_key}, x0)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            key=state_key,
+        )
+
+        import os
+
+        best_path = last_path = norm_path = None
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            best_path = os.path.join(checkpoint_dir, "cae_best.ckpt")
+            last_path = os.path.join(checkpoint_dir, "cae_last.ckpt")
+            norm_path = os.path.join(checkpoint_dir, "normalizer.npz")
+            self.normalizer.save(norm_path)
+
+        self.visualizer.on_training_start(
+            TrainingConfig(
+                device=str(jax.devices()[0]).lower(), model="cae", epochs=cfg.epochs,
+                batch_size=cfg.batch_size, learning_rate=cfg.lr,
+                weight_decay=cfg.weight_decay, early_stop_patience=cfg.early_stop,
+            )
+        )
+
+        best_val = None
+        epochs_no_improve = 0
+        prev: EpochMetrics | None = None
+        from dfac_tpu.data.pipeline import num_batches
+
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.perf_counter()
+            total, count = 0.0, 0
+            with self.visualizer.on_epoch_start(
+                epoch, num_batches(len(bona_train), cfg.batch_size)
+            ) as batch_ctx:
+                for i, batch in enumerate(
+                    batch_iterator(bona_train, cfg.batch_size, shuffle=True,
+                                   seed=cfg.seed * 100003 + epoch)
+                ):
+                    self.state, loss_sum, n = train_step(
+                        self.state, jnp.asarray(batch.features), jnp.asarray(batch.weights)
+                    )
+                    total += float(loss_sum)
+                    count += int(n)
+                    if batch_ctx is not None and count:
+                        batch_ctx.update_batch(BatchMetrics(i, total / count, int(n)))
+            train_loss = total / count if count else None
+
+            val_loss = self._validate(bona_dev)
+            elapsed = time.perf_counter() - t0
+
+            is_best = best_val is None or val_loss < best_val
+            if is_best:
+                best_val = val_loss
+                epochs_no_improve = 0
+                if best_path:
+                    ckpt_lib.save_checkpoint(
+                        best_path, self.variables(), opt_state=self.state.opt_state,
+                        epoch=epoch, config=dataclasses.asdict(cfg),
+                        scheduler_state=self.scheduler.state_dict(),
+                    )
+            else:
+                epochs_no_improve += 1
+
+            new_lr = self.scheduler.step(val_loss, self._lr)
+            if new_lr != self._lr:
+                self._lr = new_lr
+                self.state = self.state.replace(opt_state=_set_opt_lr(self.state.opt_state, new_lr))
+
+            metrics = EpochMetrics(
+                epoch=epoch, train_loss=train_loss, dev_loss=val_loss, dev_eer=None,
+                is_best=is_best, improved=is_best, epochs_no_improve=epochs_no_improve,
+                learning_rate=self._lr, epoch_seconds=elapsed,
+                throughput_utt_s=len(bona_train) / elapsed if elapsed > 0 else None,
+            )
+            self.visualizer.on_epoch_end(metrics, prev)
+            self.history.append(metrics)
+            prev = metrics
+
+            if cfg.early_stop and epochs_no_improve >= cfg.early_stop:
+                break
+
+        self.visualizer.on_training_end(self.history)
+        if last_path:
+            ckpt_lib.save_checkpoint(
+                last_path, self.variables(), opt_state=self.state.opt_state,
+                epoch=self.history[-1].epoch if self.history else 0,
+                config=dataclasses.asdict(cfg),
+            )
+        return {"best_val_mse": best_val, "history": self.history, "normalizer": self.normalizer}

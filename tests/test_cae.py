@@ -1,0 +1,84 @@
+"""CAE trainer + dual-convention evaluator tests (tiny shapes).
+
+Shapes chosen so the fixed 4-pool encoder / ConvTranspose decoder chain
+reproduces the reference's 321/180 shape arithmetic in miniature:
+T=49 (odd: floor-pool chain + zero-pad-back path), F=36 (exercises the
+output_padding=(0,1) recovery 9 from 4, like 45 from 22 at full size).
+"""
+
+import numpy as np
+import pytest
+
+from dfac_tpu.data.pipeline import ArrayDataset
+from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer, cae_mse_scores, evaluate_cae
+from dfac_tpu.train.checkpoint import load_model_variables
+from dfac_tpu.data.normalizer import FeatureNormalizer
+
+T_, F_ = 49, 36
+
+
+def _cae_corpus(rng, n=20):
+    labels = (np.arange(n) % 2).astype(np.int32)
+    feats = rng.normal(size=(n, F_, T_)).astype(np.float32)
+    # spoof rows get extra high-variance structure -> harder to reconstruct
+    feats[labels == 0] *= 2.5
+    return ArrayDataset([f"u{i}" for i in range(n)], feats, labels)
+
+
+@pytest.fixture(scope="module")
+def trained_cae(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    train_ds = _cae_corpus(rng, 24)
+    dev_ds = _cae_corpus(np.random.default_rng(1), 16)
+    ckdir = str(tmp_path_factory.mktemp("cae_ck"))
+    cfg = CAEConfig(batch_size=8, epochs=2, base_channels=4, early_stop=0)
+    trainer = CAETrainer(cfg)
+    result = trainer.fit(train_ds, dev_ds, checkpoint_dir=ckdir)
+    return trainer, result, train_ds, dev_ds, ckdir
+
+
+def test_cae_shapes_and_training(trained_cae):
+    trainer, result, _, dev_ds, ckdir = trained_cae
+    assert result["best_val_mse"] is not None and np.isfinite(result["best_val_mse"])
+    assert len(result["history"]) == 2
+    import os
+
+    assert os.path.exists(os.path.join(ckdir, "cae_best.ckpt"))
+    assert os.path.exists(os.path.join(ckdir, "cae_last.ckpt"))
+    assert os.path.exists(os.path.join(ckdir, "normalizer.npz"))
+
+
+def test_cae_normalizer_is_bonafide_only(trained_cae):
+    trainer, _, train_ds, _, _ = trained_cae
+    from dfac_tpu.data.normalizer import build_normalizer
+
+    expect = build_normalizer(train_ds.features, train_ds.labels)
+    np.testing.assert_allclose(trainer.normalizer.mean, expect.mean)
+    np.testing.assert_allclose(trainer.normalizer.std, expect.std)
+
+
+def test_cae_scores_and_dual_convention(trained_cae):
+    trainer, _, _, dev_ds, _ = trained_cae
+    scores = cae_mse_scores(trainer.model, trainer.variables(), dev_ds, trainer.normalizer, 8)
+    assert scores.shape == (len(dev_ds),)
+    assert np.all(scores >= 0)
+
+    report = evaluate_cae(trainer.model, trainer.variables(), dev_ds, trainer.normalizer, 8)
+    assert report["convention"] in ("+mse", "-mse")
+    assert report["eer"] == min(report["eer_pos_mse"], report["eer_neg_mse"])
+    # the two conventions are complementary around the crossing
+    assert report["spoof_bonafide_ratio"] is not None
+    # scores deterministic
+    scores2 = cae_mse_scores(trainer.model, trainer.variables(), dev_ds, trainer.normalizer, 8)
+    np.testing.assert_array_equal(scores, scores2)
+
+
+def test_cae_checkpoint_reload_same_scores(trained_cae):
+    trainer, _, _, dev_ds, ckdir = trained_cae
+    import os
+
+    variables = load_model_variables(os.path.join(ckdir, "cae_last.ckpt"))
+    norm = FeatureNormalizer.load(os.path.join(ckdir, "normalizer.npz"))
+    s1 = cae_mse_scores(trainer.model, variables, dev_ds, norm, 8)
+    s2 = cae_mse_scores(trainer.model, trainer.variables(), dev_ds, trainer.normalizer, 8)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
