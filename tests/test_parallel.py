@@ -1,0 +1,145 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Verifies the two parallel paths are numerically equivalent to single-device
+training on the same global batch:
+* explicit shard_map DP (psum grads + axis_name BatchNorm), and
+* GSPMD jit with NamedSharding-placed state (data x model mesh, classifier
+  head tensor-sharded).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfac_tpu.models import build_model
+from dfac_tpu.parallel.data_parallel import make_shard_map_train_step, make_sharded_eval_step
+from dfac_tpu.parallel.mesh import batch_sharding, make_mesh, shard_model_params, shard_train_state
+from dfac_tpu.train.loop import TrainState, make_train_step
+from dfac_tpu.train.optim import build_optimizer
+
+F_, T_, B_ = 16, 24, 16
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def _setup(model_name="cnn2d", axis_name=None, dropout=0.0, tx=None):
+    import optax
+
+    model = build_model(
+        model_name, in_features=F_, base_channels=4, dropout=dropout, axis_name=axis_name
+    )
+    # SGD for equivalence tests: updates are proportional to gradients, so
+    # collective-math errors show up directly (Adam amplifies ~0 grads to
+    # +-lr, turning float noise into spurious sign flips).
+    tx = tx or optax.sgd(0.1)
+    key = jax.random.key(0)
+    x0 = jnp.zeros((1, T_, F_))
+    variables = model.init({"params": key}, x0)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        key=jax.random.key(7),
+    )
+    return model, tx, state
+
+
+def _batch(rng):
+    feats = rng.normal(size=(B_, F_, T_)).astype(np.float32)
+    labels = (np.arange(B_) % 2).astype(np.float32)
+    weights = np.ones(B_, np.float32)
+    return jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(weights)
+
+
+def test_shard_map_dp_matches_single_device(rng, eight_devices):
+    feats, labels, weights = _batch(rng)
+
+    # single device reference
+    model_s, tx_s, state_s = _setup(axis_name=None)
+    step_s = make_train_step(model_s, tx_s, swap_tf=True, label_smoothing=0.05, augment_fn=None)
+    new_s, loss_sum_s, count_s = step_s(state_s, feats, labels, weights)
+
+    # 8-way shard_map DP
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    model_p, tx_p, state_p = _setup(axis_name="data")
+    step_p = make_shard_map_train_step(model_p, tx_p, mesh, swap_tf=True, label_smoothing=0.05)
+    new_p, loss_sum_p, count_p = step_p(state_p, feats, labels, weights)
+
+    assert float(count_p) == float(count_s) == B_
+    np.testing.assert_allclose(float(loss_sum_p), float(loss_sum_s), rtol=1e-5)
+    # updated params identical (same init because axis_name doesn't change init)
+    flat_s = jax.tree.leaves(new_s.params)
+    flat_p = jax.tree.leaves(new_p.params)
+    for a, b in zip(flat_s, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    # BatchNorm running stats synced across shards == global-batch stats
+    np.testing.assert_allclose(
+        np.asarray(new_p.batch_stats["bn1"]["mean"]),
+        np.asarray(new_s.batch_stats["bn1"]["mean"]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_p.batch_stats["bn1"]["var"]),
+        np.asarray(new_s.batch_stats["bn1"]["var"]),
+        rtol=1e-4,
+    )
+
+
+def test_gspmd_tensor_parallel_matches_single_device(rng, eight_devices):
+    feats, labels, weights = _batch(rng)
+
+    model, tx, state = _setup()
+    step = make_train_step(model, tx, swap_tf=True, label_smoothing=0.0, augment_fn=None)
+    ref_state, ref_loss, _ = step(state, feats, labels, weights)
+
+    mesh = make_mesh(n_data=4, n_model=2, devices=eight_devices)
+    sharded_state = shard_train_state(state, mesh, min_shard_elems=64)
+    # classifier kernel (4*F_, 1) = (64, 1) is sharded over 'model'
+    ck = sharded_state.params["classifier"]["dense"]["kernel"]
+    assert not ck.sharding.is_fully_replicated
+    sb = batch_sharding(mesh)
+    new_state, loss_sum, count = step(
+        state.replace(
+            params=sharded_state.params,
+            opt_state=sharded_state.opt_state,
+            batch_stats=sharded_state.batch_stats,
+            key=sharded_state.key,
+        ),
+        jax.device_put(feats, sb),
+        jax.device_put(labels, sb),
+        jax.device_put(weights, sb),
+    )
+    np.testing.assert_allclose(float(loss_sum), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sharded_eval_matches_single_device(rng, eight_devices):
+    feats, _, _ = _batch(rng)
+    model, _, state = _setup()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ref = model.apply(variables, jnp.transpose(feats, (0, 2, 1))).reshape(-1)
+
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    eval_step = make_sharded_eval_step(model, mesh, swap_tf=True)
+    got = eval_step(variables, feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_shard_model_params_rule(eight_devices):
+    mesh = make_mesh(n_data=4, n_model=2, devices=eight_devices)
+    params = {
+        "big": np.zeros((128, 8), np.float32),
+        "small": np.zeros((4, 4), np.float32),
+        "vec": np.zeros((64,), np.float32),
+    }
+    placed = shard_model_params(params, mesh, min_shard_elems=256)
+    assert not placed["big"].sharding.is_fully_replicated
+    assert placed["small"].sharding.is_fully_replicated
+    assert placed["vec"].sharding.is_fully_replicated
