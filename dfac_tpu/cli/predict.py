@@ -1,0 +1,70 @@
+"""``dfac-predict`` — generate prediction.pkl from a checkpoint.
+
+Feature-parity target: reference ``src/predict.py`` — label-free batched
+inference (sigmoid on by default, swap_tf on by default), strict
+prediction-count assertion, ``prediction.pkl`` DataFrame {uttid,
+predictions}. Accepts both dfac-tpu checkpoints and reference PyTorch
+``.pt`` files (auto-imported).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dfac_tpu.cli.common import add_swap_tf_args
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Generate prediction.pkl from a model checkpoint.")
+    p.add_argument("--features", required=True, help="Path to features.pkl")
+    p.add_argument("--checkpoint", required=True, help="Path to model checkpoint (.ckpt or torch .pt)")
+    p.add_argument("--model", required=True, choices=["cnn2d", "cnn1d"])
+    p.add_argument("--out", required=True, help="Output path for prediction.pkl")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--device", default=None)
+    p.add_argument("--in-features", type=int, default=180)
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    sig = p.add_mutually_exclusive_group()
+    sig.add_argument("--apply-sigmoid", dest="apply_sigmoid", action="store_true", default=True)
+    sig.add_argument("--no-apply-sigmoid", dest="apply_sigmoid", action="store_false")
+    add_swap_tf_args(p)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    import jax.numpy as jnp
+
+    from dfac_tpu.data.pipeline import load_dataset
+    from dfac_tpu.io.pickle_io import write_predictions
+    from dfac_tpu.models import build_model
+    from dfac_tpu.train.checkpoint import load_model_variables
+    from dfac_tpu.train.evaluate import predict_scores
+
+    model = build_model(
+        args.model,
+        in_features=args.in_features,
+        dropout=args.dropout,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    variables = load_model_variables(args.checkpoint, model_name=args.model)
+    ds = load_dataset(args.features)
+
+    scores = predict_scores(
+        model, variables, ds,
+        batch_size=args.batch_size, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
+    )
+    if len(scores) != len(ds):
+        raise ValueError("Number of predictions does not match number of rows in features.pkl")
+    write_predictions(args.out, ds.uttids, scores)
+    print(f"wrote {len(scores)} predictions to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""``dfac-predict-hybrid`` — hybrid CNN+CAE prediction on an unlabeled set.
+
+Feature-parity target: reference ``src/predict_hybrid.py`` — fixed-alpha
+fusion (default 0.80) of supervised sigmoid scores and raw CAE MSE scores
+(both min-max normalized), prediction.pkl output, score-distribution report,
+and optional per-sample diff / class-agreement vs an existing submission.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Hybrid CNN+CAE prediction for submission.")
+    p.add_argument("--features", required=True)
+    p.add_argument("--cnn-checkpoint", required=True)
+    p.add_argument("--cnn-model", default="cnn2d", choices=["cnn2d", "cnn1d"])
+    p.add_argument("--cae-checkpoint", required=True)
+    p.add_argument("--normalizer", required=True)
+    p.add_argument("--alpha", type=float, default=0.80,
+                   help="supervised weight (reference src/predict_hybrid.py:107)")
+    p.add_argument("--out", default="prediction.pkl")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--in-features", type=int, default=180)
+    p.add_argument("--base-channels", type=int, default=32)
+    p.add_argument("--compare-with", default=None,
+                   help="existing prediction.pkl to diff against")
+    p.add_argument("--device", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from dfac_tpu.data.normalizer import FeatureNormalizer
+    from dfac_tpu.data.pipeline import load_dataset
+    from dfac_tpu.ensemble.hybrid import (
+        compare_with_submission,
+        fuse_scores,
+        score_distribution_report,
+    )
+    from dfac_tpu.io.pickle_io import load_predictions, write_predictions
+    from dfac_tpu.models import build_model
+    from dfac_tpu.train.cae_loop import cae_mse_scores
+    from dfac_tpu.train.checkpoint import load_model_variables
+    from dfac_tpu.train.evaluate import predict_scores
+
+    ds = load_dataset(args.features)
+
+    cnn = build_model(args.cnn_model, in_features=args.in_features)
+    cnn_vars = load_model_variables(args.cnn_checkpoint, model_name=args.cnn_model)
+    sup = predict_scores(cnn, cnn_vars, ds, args.batch_size, apply_sigmoid=True)
+
+    cae = build_model("cae", base_channels=args.base_channels)
+    cae_vars = load_model_variables(args.cae_checkpoint, model_name="cae")
+    normalizer = FeatureNormalizer.load(args.normalizer)
+    cae_s = cae_mse_scores(cae, cae_vars, ds, normalizer, args.batch_size)
+
+    hybrid = fuse_scores(sup, cae_s, alpha=args.alpha)
+    write_predictions(args.out, ds.uttids, hybrid)
+    print(f"wrote {len(hybrid)} hybrid predictions (alpha={args.alpha}) to {args.out}")
+
+    rep = score_distribution_report(hybrid)
+    print(
+        f"distribution: min={rep['min']:.6f} median={rep['median']:.4f} max={rep['max']:.6f}  "
+        f"class1@0.5={rep['n_class1_at_0.5']} class0@0.5={rep['n_class0_at_0.5']}"
+    )
+
+    if args.compare_with:
+        ou, os_ = load_predictions(args.compare_with)
+        diff = compare_with_submission(ds.uttids, hybrid, ou, os_)
+        print(
+            f"vs {args.compare_with}: common={diff['n_common']} "
+            f"mean|d|={diff['mean_abs_diff']:.6f} max|d|={diff['max_abs_diff']:.6f} "
+            f"agreement={diff['class_agreement']:.4f} flipped={diff['n_flipped']}"
+        )
+
+
+if __name__ == "__main__":
+    main()

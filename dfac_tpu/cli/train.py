@@ -1,0 +1,157 @@
+"""``dfac-train`` — supervised training CLI.
+
+Feature-parity target: reference ``src/train.py:94-246`` — the full ~40-flag
+surface (model/optimizer/scheduler/augmentation/calibration/checkpointing),
+including ``--debug-augment-stats`` and the rich/tqdm visualizer switch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from dfac_tpu.cli.common import (
+    add_augment_args,
+    add_data_args,
+    add_swap_tf_args,
+    augment_config_from_args,
+    set_seed,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a model for audio deepfake detection (TPU).")
+    add_data_args(p)
+    p.add_argument(
+        "--model",
+        default="cnn2d",
+        choices=[
+            "cnn2d", "cnn1d", "meanpool_mlp", "statspool_mlp", "cnn1d_spatial",
+            "cnn1d_archive", "cnn2d_spatial", "crnn", "crnn2", "cnn2d_robust",
+        ],
+    )
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-workers", type=int, default=2,
+                   help="accepted for reference-CLI compatibility (no host workers needed)")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--early-stop", type=int, default=0, help="patience in epochs (0 disables)")
+    p.add_argument("--lr-scheduler", default="none", choices=["none", "plateau"])
+    p.add_argument("--lr-scheduler-metric", default="dev_eer", choices=["dev_eer", "dev_loss"])
+    p.add_argument("--lr-scheduler-factor", type=float, default=0.5)
+    p.add_argument("--lr-scheduler-patience", type=int, default=2)
+    p.add_argument("--lr-scheduler-threshold", type=float, default=1e-4)
+    p.add_argument("--lr-scheduler-min-lr", type=float, default=1e-6)
+    p.add_argument("--device", default=None, help="tpu or cpu (default: auto)")
+    p.add_argument("--in-features", type=int, default=180)
+    p.add_argument("--hidden-dim", type=int, default=128)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--run-name", default="",
+                   help="optional subfolder under --checkpoint-dir for outputs")
+    p.add_argument("--no-rich", action="store_true", help="use tqdm instead of rich")
+    p.add_argument("--quiet", action="store_true", help="noop visualizer (CI)")
+    p.add_argument("--seed", type=int, default=0)
+    add_augment_args(p)
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="label smoothing epsilon in [0, 0.5)")
+    p.add_argument("--debug-augment-stats", action="store_true",
+                   help="print feature stats before/after augmentation on the first batch")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU fast path)")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard_map DP over N devices (0 = single device)")
+    add_swap_tf_args(p)
+    return p.parse_args(argv)
+
+
+def _debug_augment_stats(augment_fn, feats_swapped):
+    """First-batch before/after quantile dump (reference ``src/train.py:390-430``)."""
+    import jax
+
+    def stats(x):
+        x = np.asarray(x)
+        flat = x.reshape(-1)
+        q01, q50, q99 = np.quantile(flat, [0.01, 0.50, 0.99])
+        return (
+            f"shape={tuple(x.shape)} min={flat.min():.4f} q01={q01:.4f} "
+            f"median={q50:.4f} q99={q99:.4f} max={flat.max():.4f} "
+            f"mean={flat.mean():.4f} std={flat.std():.4f} "
+            f"zero%={100 * (flat == 0).mean():.4f}"
+        )
+
+    print("[augment-stats] before:", stats(feats_swapped))
+    if augment_fn is not None:
+        out = augment_fn(jax.random.key(0), feats_swapped)
+        print("[augment-stats] after: ", stats(out))
+    else:
+        print("[augment-stats] after:  (no augmentation enabled)")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    set_seed(args.seed)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from dfac_tpu.data.pipeline import load_dataset
+    from dfac_tpu.obs.factory import create_visualizer
+    from dfac_tpu.train.checkpoint import build_config_dict
+    from dfac_tpu.train.loop import TrainConfig, Trainer
+
+    checkpoint_root = args.checkpoint_dir
+    if args.run_name:
+        checkpoint_root = os.path.join(checkpoint_root, args.run_name)
+
+    train_ds = load_dataset(args.train_features, args.train_labels)
+    dev_ds = load_dataset(args.dev_features, args.dev_labels)
+
+    cfg = TrainConfig(
+        model=args.model,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        early_stop=args.early_stop,
+        lr_scheduler=args.lr_scheduler,
+        lr_scheduler_metric=args.lr_scheduler_metric,
+        lr_scheduler_factor=args.lr_scheduler_factor,
+        lr_scheduler_patience=args.lr_scheduler_patience,
+        lr_scheduler_threshold=args.lr_scheduler_threshold,
+        lr_scheduler_min_lr=args.lr_scheduler_min_lr,
+        in_features=args.in_features,
+        hidden_dim=args.hidden_dim,
+        dropout=args.dropout,
+        seed=args.seed,
+        label_smoothing=args.label_smoothing,
+        swap_tf=args.swap_tf,
+        augment=augment_config_from_args(args),
+        compute_dtype="bfloat16" if args.bf16 else None,
+        data_parallel=args.data_parallel,
+    )
+
+    visualizer = create_visualizer(
+        "noop" if args.quiet else ("tqdm" if args.no_rich else "rich")
+    )
+    trainer = Trainer(cfg, visualizer=visualizer)
+
+    if args.debug_augment_stats:
+        first = train_ds.features[: args.batch_size]
+        feats = np.transpose(first, (0, 2, 1)) if args.swap_tf else first
+        _debug_augment_stats(trainer.augment_fn, feats)
+
+    result = trainer.fit(
+        train_ds, dev_ds, checkpoint_dir=checkpoint_root,
+        config_snapshot=build_config_dict(args),
+    )
+    if result["best_eer"] is not None:
+        print(f"best dev EER: {result['best_eer']:.6f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""``dfac-train-cae`` — CAE anomaly-model training CLI.
+
+Feature-parity target: reference ``src/train_cae.py:108-163`` flags —
+bonafide-only reconstruction training with normalizer build/load, rich Live
+dashboard (or plain prints), cae_best/cae_last/normalizer artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dfac_tpu.cli.common import add_data_args, set_seed
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the ConvAutoencoder on bonafide-only data.")
+    add_data_args(p)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--lr-scheduler-patience", type=int, default=7)
+    p.add_argument("--lr-scheduler-factor", type=float, default=0.5)
+    p.add_argument("--early-stop", type=int, default=10)
+    p.add_argument("--base-channels", type=int, default=32)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--normalizer", default=None,
+                   help="load an existing normalizer (.npz or torch .pt) instead of fitting")
+    p.add_argument("--device", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-rich", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    set_seed(args.seed)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from dfac_tpu.data.normalizer import FeatureNormalizer
+    from dfac_tpu.data.pipeline import load_dataset
+    from dfac_tpu.obs.factory import create_visualizer
+    from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
+
+    train_ds = load_dataset(args.train_features, args.train_labels)
+    dev_ds = load_dataset(args.dev_features, args.dev_labels)
+
+    cfg = CAEConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        lr_scheduler_patience=args.lr_scheduler_patience,
+        lr_scheduler_factor=args.lr_scheduler_factor,
+        early_stop=args.early_stop,
+        base_channels=args.base_channels,
+        seed=args.seed,
+    )
+    visualizer = create_visualizer("noop" if args.quiet else ("tqdm" if args.no_rich else "rich"))
+    trainer = CAETrainer(cfg, visualizer=visualizer)
+    normalizer = FeatureNormalizer.load(args.normalizer) if args.normalizer else None
+    result = trainer.fit(train_ds, dev_ds, checkpoint_dir=args.checkpoint_dir, normalizer=normalizer)
+    print(f"best val reconstruction MSE: {result['best_val_mse']:.6f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -72,10 +72,13 @@ class TrainConfig:
     augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
     eval_batch_size: int | None = None
     compute_dtype: str | None = None  # None (f32) | "bfloat16"
+    data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
 
     def __post_init__(self):
         if not (0.0 <= self.label_smoothing < 0.5):
             raise ValueError("label_smoothing must be in [0, 0.5)")
+        if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
+            raise ValueError("batch_size must divide evenly over data_parallel shards")
 
 
 def _model_kwargs(cfg: TrainConfig) -> dict:
@@ -152,7 +155,11 @@ class Trainer:
     ):
         self.cfg = cfg
         self.visualizer = visualizer or NoOpVisualizer()
-        self.model = model if model is not None else build_model(cfg.model, **_model_kwargs(cfg))
+        model_kwargs = _model_kwargs(cfg)
+        if cfg.data_parallel > 1:
+            # BatchNorm stats must sync over the mesh in the shard_map path.
+            model_kwargs["axis_name"] = "data"
+        self.model = model if model is not None else build_model(cfg.model, **model_kwargs)
         self.tx = build_optimizer(cfg.model, cfg.lr, cfg.weight_decay)
         self.augment_fn = build_augment_fn(cfg.augment)
         self.scheduler = (
@@ -165,9 +172,20 @@ class Trainer:
             if cfg.lr_scheduler == "plateau"
             else None
         )
-        self._train_step = make_train_step(
-            self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
-        )
+        if cfg.data_parallel > 1:
+            from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
+            from dfac_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_data=cfg.data_parallel)
+            self._train_step = make_shard_map_train_step(
+                self.model, self.tx, self.mesh, swap_tf=cfg.swap_tf,
+                label_smoothing=cfg.label_smoothing, augment_fn=self.augment_fn,
+            )
+        else:
+            self.mesh = None
+            self._train_step = make_train_step(
+                self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
+            )
         self.history: list[EpochMetrics] = []
         self.state: TrainState | None = None
         self._lr = cfg.lr

@@ -1,0 +1,138 @@
+"""End-to-end CLI pipeline test: train -> predict -> evaluate -> submission.
+
+Exercises BASELINE.json config 1 (CPU-runnable full pipeline) on a tiny
+synthetic corpus with full-size feature geometry semantics scaled down.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    f_dim, t_dim = 180, 321
+    for split, n in (("train", 24), ("dev", 16), ("test", 12)):
+        labels = (np.arange(n) % 2).astype(np.int64)
+        feats = rng.normal(size=(n, f_dim, t_dim)).astype(np.float32)
+        feats[labels == 1, :60, :] += 1.5  # separable on the LFCC block
+        uttids = [f"{split}{i:04d}" for i in range(n)]
+        d = root / split
+        d.mkdir()
+        pd.DataFrame(
+            {"uttid": uttids, "features": [torch.from_numpy(m) for m in feats]}
+        ).to_pickle(d / "features.pkl")
+        pd.DataFrame({"uttid": uttids, "label": labels}).to_pickle(d / "labels.pkl")
+    return root
+
+
+def test_full_cli_pipeline(corpus_dir, tmp_path, capsys):
+    from dfac_tpu.cli import evaluate as eval_cli
+    from dfac_tpu.cli import generate_submission as sub_cli
+    from dfac_tpu.cli import predict as predict_cli
+    from dfac_tpu.cli import train as train_cli
+    from dfac_tpu.cli import data_tools
+
+    ckdir = str(tmp_path / "ck")
+    train_cli.main([
+        "--train-features", str(corpus_dir / "train/features.pkl"),
+        "--train-labels", str(corpus_dir / "train/labels.pkl"),
+        "--dev-features", str(corpus_dir / "dev/features.pkl"),
+        "--dev-labels", str(corpus_dir / "dev/labels.pkl"),
+        "--model", "cnn1d", "--epochs", "2", "--batch-size", "8",
+        "--lr", "2e-3", "--checkpoint-dir", ckdir, "--quiet",
+        "--spec-augment", "--label-smoothing", "0.05",
+        "--debug-augment-stats",
+    ])
+    out = capsys.readouterr().out
+    assert "[augment-stats] before:" in out and "best dev EER" in out
+    ckpt = os.path.join(ckdir, "cnn1d_best.ckpt")
+    assert os.path.exists(ckpt)
+
+    pred_path = str(tmp_path / "prediction.pkl")
+    predict_cli.main([
+        "--features", str(corpus_dir / "test/features.pkl"),
+        "--checkpoint", ckpt, "--model", "cnn1d", "--out", pred_path,
+        "--batch-size", "8",
+    ])
+    df = pd.read_pickle(pred_path)
+    assert list(df.columns) == ["uttid", "predictions"]
+    assert len(df) == 12
+    assert df["predictions"].between(0, 1).all()  # sigmoid on by default
+
+    # score-file evaluation mode (reference scripts/evaluation.py contract)
+    eval_cli.main([pred_path, str(corpus_dir / "test/labels.pkl")])
+    out = capsys.readouterr().out
+    assert "EER:" in out and "Threshold:" in out and "FAR:" in out
+
+    # checkpoint evaluation mode
+    eval_cli.main([
+        "--features", str(corpus_dir / "dev/features.pkl"),
+        "--labels", str(corpus_dir / "dev/labels.pkl"),
+        "--checkpoint", ckpt, "--model", "cnn1d", "--batch-size", "8",
+    ])
+    out = capsys.readouterr().out
+    assert "eer=" in out
+
+    # submission generation (positional argv contract)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sub_cli.main([
+            str(corpus_dir / "test/features.pkl"), pred_path,
+            "st123456", "Grace", "Hopper", "TPUQueen",
+        ])
+    finally:
+        os.chdir(cwd)
+    assert (tmp_path / "st123456-Grace-Hopper-TPUQueen.pkl").exists()
+
+    # forensics tools run over the artifacts
+    data_tools.main(["analyze-pickles", pred_path])
+    out = capsys.readouterr().out
+    assert "protocol" in out
+    data_tools.main(["check-shape", str(corpus_dir / "test/features.pkl")])
+    out = capsys.readouterr().out
+    assert "Shape:" in out
+    data_tools.main(["score-distributions", pred_path])
+    out = capsys.readouterr().out
+    assert "p50" in out.splitlines()[0]
+    data_tools.main([
+        "submission-stats", str(tmp_path / "st123456-Grace-Hopper-TPUQueen.pkl")
+    ])
+    out = capsys.readouterr().out
+    assert "Class 1 count:" in out
+
+
+def test_predict_rejects_mismatched_sigmoid_flags(corpus_dir):
+    from dfac_tpu.cli import predict as predict_cli
+
+    with pytest.raises(SystemExit):
+        predict_cli.parse_args([
+            "--features", "x", "--checkpoint", "y", "--model", "cnn2d",
+            "--out", "z", "--apply-sigmoid", "--no-apply-sigmoid",
+        ])
+
+
+def test_train_cli_dp_smoke(corpus_dir, tmp_path):
+    """shard_map data-parallel training through the CLI on the CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from dfac_tpu.cli import train as train_cli
+
+    result = train_cli.main([
+        "--train-features", str(corpus_dir / "train/features.pkl"),
+        "--train-labels", str(corpus_dir / "train/labels.pkl"),
+        "--dev-features", str(corpus_dir / "dev/features.pkl"),
+        "--dev-labels", str(corpus_dir / "dev/labels.pkl"),
+        "--model", "cnn2d", "--epochs", "1", "--batch-size", "8",
+        "--checkpoint-dir", str(tmp_path / "dp"), "--quiet",
+        "--data-parallel", "4",
+    ])
+    assert result["best_eer"] is not None
