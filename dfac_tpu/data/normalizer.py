@@ -68,6 +68,26 @@ class FeatureNormalizer:
         return cls(mean=np.asarray(data["mean"]), std=np.asarray(data["std"]))
 
 
+def apply_utterance_norm(features: np.ndarray, scheme: str) -> np.ndarray:
+    """Per-utterance normalization schemes of the normalization A/B study
+    (reference ``src/compare_normalization.py:38-65``), applied on the
+    stored (N, F, T) orientation over the time axis:
+
+    * ``raw``  — identity;
+    * ``cmn``  — cepstral mean subtraction: x - mean_t(x) per feature row;
+    * ``cvmn`` — mean+variance normalization: (x - mean_t) / (std_t + 1e-8).
+    """
+    if scheme == "raw":
+        return features
+    mean = features.mean(axis=-1, keepdims=True)
+    if scheme == "cmn":
+        return features - mean
+    if scheme == "cvmn":
+        std = features.std(axis=-1, keepdims=True)
+        return (features - mean) / (std + 1e-8)
+    raise ValueError(f"unknown normalization scheme '{scheme}' (raw|cmn|cvmn)")
+
+
 def build_normalizer(features: np.ndarray, labels: np.ndarray, swap_tf: bool = True) -> FeatureNormalizer:
     """Fit on bonafide-only rows of a stored-orientation (N, F, T) corpus.
 

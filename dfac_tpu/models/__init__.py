@@ -12,7 +12,7 @@ from typing import Any
 from flax import linen as nn
 
 from dfac_tpu.models.cae import ConvAutoencoder, reconstruction_mse  # noqa: F401
-from dfac_tpu.models.cnn1d import CNN1D
+from dfac_tpu.models.cnn1d import CNN1D, CNN1DVariant
 from dfac_tpu.models.cnn2d import CNN2D
 from dfac_tpu.models.detector import DeepfakeDetector, stats_pool  # noqa: F401
 from dfac_tpu.models.zoo import (
@@ -29,6 +29,7 @@ from dfac_tpu.models.zoo import (
 MODEL_REGISTRY: dict[str, type[nn.Module]] = {
     "cnn2d": CNN2D,
     "cnn1d": CNN1D,
+    "cnn1d_variant": CNN1DVariant,
     "cae": ConvAutoencoder,
     "detector": DeepfakeDetector,
     # archived zoo

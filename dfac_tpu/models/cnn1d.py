@@ -47,3 +47,36 @@ class CNN1D(nn.Module):
         h = jnp.mean(h, axis=1)  # AdaptiveAvgPool1d(1) over time -> (B, C)
         logits = Dense(self.num_classes, dtype=dt, name="classifier")(h)
         return logits.astype(jnp.float32)
+
+
+class CNN1DVariant(nn.Module):
+    """CNN1D with configurable per-layer kernel sizes.
+
+    Feature-parity target: reference ``src/compare_kernels.py:38-67``
+    ``CNN1D_Variant`` — the kernel-size A/B study body ((3,3,3) vs (5,3,3)
+    receptive fields).
+    """
+
+    in_features: int = 180
+    base_channels: int = 32
+    kernel_sizes: tuple[int, int, int] = (3, 3, 3)
+    num_classes: int = 1
+    dropout: float = 0.2
+    axis_name: str | None = None
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        bc = self.base_channels
+        dt = self.compute_dtype
+        h = x.astype(dt or x.dtype)
+        for i, (ch, k) in enumerate(zip((bc, bc * 2, bc * 4), self.kernel_sizes)):
+            h = Conv(ch, (int(k),), dtype=dt, name=f"conv{i + 1}")(h)
+            h = TorchBatchNorm(axis_name=self.axis_name, dtype=dt, name=f"bn{i + 1}")(
+                h, use_running_average=not train
+            )
+            h = nn.relu(h)
+            if i < 2:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = jnp.mean(h, axis=1)
+        return Dense(self.num_classes, dtype=dt, name="classifier")(h).astype(jnp.float32)
