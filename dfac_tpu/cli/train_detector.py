@@ -1,0 +1,114 @@
+"""``python -m dfac_tpu.cli.train_detector`` — dlqueen detector train + predict.
+
+Feature-parity target: reference ``src/dlqueen_model.py:266-448`` main() —
+train the DeepfakeDetector with weighted sampling / pos_weight BCE / EMA /
+grad clipping, then run inference on a test split and write prediction.pkl
+(logits by default, ``--use-prob`` for sigmoid), printing EER when the test
+split has labels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train/predict the DeepfakeDetector (dlqueen recipe).")
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--train-split", default="train")
+    p.add_argument("--dev-split", default="dev")
+    p.add_argument("--test-split", default="test2")
+    p.add_argument("--ckpt-path", default="best_model.ckpt")
+    p.add_argument("--prediction-pkl", default="prediction.pkl")
+    p.add_argument("--device", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--grad-clip", type=float, default=5.0)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--use-prob", action="store_true", help="save sigmoid probs instead of logits")
+    p.add_argument("--specaug", action="store_true")
+    p.add_argument("--time-mask-max", type=int, default=30)
+    p.add_argument("--time-mask-n", type=int, default=2)
+    p.add_argument("--freq-mask-max", type=int, default=24)
+    p.add_argument("--freq-mask-n", type=int, default=2)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--ema-decay", type=float, default=0.999)
+    p.add_argument("--patience", type=int, default=6)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from dfac_tpu.data.pipeline import load_dataset
+    from dfac_tpu.io.pickle_io import write_predictions
+    from dfac_tpu.models import build_model
+    from dfac_tpu.ops.eer import calculate_eer
+    from dfac_tpu.train.checkpoint import load_model_variables
+    from dfac_tpu.train.detector_loop import DetectorConfig, DetectorTrainer, detector_scores
+
+    cfg = DetectorConfig(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        hidden=args.hidden, dropout=args.dropout, specaug=args.specaug,
+        time_mask_max=args.time_mask_max, time_mask_n=args.time_mask_n,
+        freq_mask_max=args.freq_mask_max, freq_mask_n=args.freq_mask_n,
+        ema=args.ema, ema_decay=args.ema_decay, patience=args.patience,
+        seed=args.seed, compute_dtype="bfloat16" if args.bf16 else None,
+    )
+
+    def split_paths(split):
+        return (
+            os.path.join(args.data_dir, split, "features.pkl"),
+            os.path.join(args.data_dir, split, "labels.pkl"),
+        )
+
+    test_feat, test_lab = split_paths(args.test_split)
+    has_test_labels = os.path.exists(test_lab)
+
+    if args.epochs > 0:
+        train_ds = load_dataset(*split_paths(args.train_split))
+        dev_ds = load_dataset(*split_paths(args.dev_split))
+        in_ch = train_ds.features.shape[1]
+        trainer = DetectorTrainer(cfg, in_channels=in_ch)
+        result = trainer.fit(train_ds, dev_ds, ckpt_path=args.ckpt_path)
+        print(f"Training done. Best dev EER: {result['best_eer']:.6f}")
+        model = trainer.model
+    else:
+        test_ds_tmp = load_dataset(test_feat)
+        in_ch = test_ds_tmp.features.shape[1]
+        model = build_model("detector", in_channels=in_ch, hidden=args.hidden, dropout=args.dropout)
+
+    if not os.path.exists(args.ckpt_path):
+        raise FileNotFoundError(f"Checkpoint not found: {args.ckpt_path}")
+    variables = load_model_variables(args.ckpt_path, model_name="detector")
+
+    test_ds = load_dataset(test_feat, test_lab if has_test_labels else None)
+    import numpy as np
+
+    lengths = test_ds.lengths if test_ds.lengths is not None else np.full(
+        len(test_ds), test_ds.features.shape[2], np.int32
+    )
+    scores = detector_scores(
+        model, variables, test_ds, lengths, args.batch_size, apply_sigmoid=args.use_prob
+    )
+    write_predictions(args.prediction_pkl, test_ds.uttids, scores)
+    print(f"Saved prediction file -> {args.prediction_pkl}  shape: ({len(scores)}, 2)")
+
+    if has_test_labels:
+        eer, _ = calculate_eer(scores, test_ds.labels)
+        print(f"EER on split '{args.test_split}': {eer:.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,48 @@ def spec_augment(
     return x
 
 
+def _per_sample_count_mask(key: jax.Array, length: int, max_width: int, num_masks: int) -> jax.Array:
+    """(length,) keep-mask with ``num_masks`` random-width zero segments.
+
+    The dlqueen SpecAugment draw scheme (reference
+    ``src/dlqueen_model.py:33-62``): each mask has width uniform in
+    [0, min(max_width, length)] (0 = no-op) and uniform start.
+    """
+    keep = jnp.ones((length,), jnp.bool_)
+    idx = jnp.arange(length)
+    for i in range(num_masks):
+        kw, ks, key = jax.random.split(key, 3)
+        w = jax.random.randint(kw, (), 0, min(max_width, length) + 1)
+        start = (jax.random.uniform(ks, ()) * (length - w + 1)).astype(jnp.int32)
+        keep = keep & ~((idx >= start) & (idx < start + w))
+    return keep
+
+
+def dlqueen_spec_augment(
+    key: jax.Array,
+    x: jax.Array,
+    time_mask_max: int = 30,
+    time_mask_n: int = 2,
+    freq_mask_max: int = 24,
+    freq_mask_n: int = 2,
+) -> jax.Array:
+    """Per-sample time+frequency masking on (B, T, C) batches.
+
+    Unlike :func:`spec_augment` (one mask per batch), every sample draws its
+    own masks — matching the dlqueen trainer's per-sample loop (reference
+    ``src/dlqueen_model.py:357-364``) but fully vectorized with vmap.
+    """
+    b, t, c = x.shape
+
+    def one(key_i, xi):
+        kt, kf = jax.random.split(key_i)
+        tmask = _per_sample_count_mask(kt, t, time_mask_max, time_mask_n)
+        fmask = _per_sample_count_mask(kf, c, freq_mask_max, freq_mask_n)
+        return xi * tmask[:, None].astype(xi.dtype) * fmask[None, :].astype(xi.dtype)
+
+    return jax.vmap(one)(jax.random.split(key, b), x)
+
+
 def compose(*fns: AugmentFn | None) -> AugmentFn:
     """Chain keyed augmentations, splitting the key per stage
     (reference ``augmentation.py:73-80``)."""
