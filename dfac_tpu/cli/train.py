@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU fast path)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (0 = single device)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume training from a checkpoint (model+optimizer+scheduler+epoch)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run to this directory")
     add_swap_tf_args(p)
     return p.parse_args(argv)
 
@@ -144,10 +148,14 @@ def main(argv=None):
         feats = np.transpose(first, (0, 2, 1)) if args.swap_tf else first
         _debug_augment_stats(trainer.augment_fn, feats)
 
-    result = trainer.fit(
-        train_ds, dev_ds, checkpoint_dir=checkpoint_root,
-        config_snapshot=build_config_dict(args),
-    )
+    from dfac_tpu.obs.profiling import trace
+
+    with trace(args.profile_dir):
+        result = trainer.fit(
+            train_ds, dev_ds, checkpoint_dir=checkpoint_root,
+            config_snapshot=build_config_dict(args),
+            resume_from=args.resume,
+        )
     if result["best_eer"] is not None:
         print(f"best dev EER: {result['best_eer']:.6f}")
     return result

@@ -234,14 +234,54 @@ class Trainer:
                 )
         return (total_loss / total_count) if total_count else None
 
+    def restore(self, ckpt_path: str) -> dict:
+        """Resume from a checkpoint: model variables, optimizer state,
+        scheduler state, epoch and best-tracking counters.
+
+        Goes beyond the reference, whose recovery is a manual re-run from
+        ``*_last.pt`` with no trainer wiring (SURVEY.md §5).
+        """
+        ckpt = ckpt_lib.load_checkpoint(ckpt_path)
+        variables = ckpt["model_state"]
+        if self.state is None:
+            # build a state skeleton so opt_state structure exists
+            self.state = TrainState(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=self.tx.init(variables["params"]),
+                key=jax.random.key(self.cfg.seed + 1),
+            )
+        restored_opt = ckpt.get("optimizer_state")
+        self.state = self.state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=restored_opt if restored_opt is not None else self.state.opt_state,
+        )
+        if self.scheduler is not None and ckpt.get("scheduler_state"):
+            from dfac_tpu.train.optim import PlateauScheduler
+
+            self.scheduler = PlateauScheduler.from_state_dict(ckpt["scheduler_state"])
+        ts = ckpt.get("config", {}).get("_trainer_state", {})
+        if ts.get("lr") is not None:
+            self._lr = ts["lr"]
+            self.state = self.state.replace(opt_state=_set_opt_lr(self.state.opt_state, self._lr))
+        return {"epoch": ckpt.get("epoch", 0), "trainer_state": ts}
+
     def fit(
         self,
         train_ds: ArrayDataset,
         dev_ds: ArrayDataset,
         checkpoint_dir: str | None = None,
         config_snapshot: dict | None = None,
+        resume_from: str | None = None,
     ) -> dict:
         cfg = self.cfg
+        start_epoch = 1
+        resumed_ts: dict = {}
+        if resume_from:
+            restored = self.restore(resume_from)
+            start_epoch = restored["epoch"] + 1
+            resumed_ts = restored["trainer_state"]
         if self.state is None:
             self.init_state(train_ds.features[: max(cfg.batch_size, 1)])
 
@@ -260,11 +300,11 @@ class Trainer:
             )
         )
 
-        best_eer = None
-        best_train_loss = None
-        best_dev_loss = None
+        best_eer = resumed_ts.get("best_eer")
+        best_train_loss = resumed_ts.get("best_train_loss")
+        best_dev_loss = resumed_ts.get("best_dev_loss")
         prev_metrics: EpochMetrics | None = None
-        epochs_no_improve = 0
+        epochs_no_improve = resumed_ts.get("epochs_no_improve", 0)
         eer_tie_eps = 1e-4
         loss_improve_eps = 1e-6
         best_path = last_path = None
@@ -275,7 +315,7 @@ class Trainer:
             best_path = os.path.join(checkpoint_dir, f"{cfg.model}_best.ckpt")
             last_path = os.path.join(checkpoint_dir, f"{cfg.model}_last.ckpt")
 
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
             with self.visualizer.on_epoch_start(
                 epoch, num_batches(len(train_ds), cfg.batch_size)
@@ -343,7 +383,14 @@ class Trainer:
             self.visualizer.on_epoch_end(metrics, prev_metrics)
 
             if is_best and best_path:
-                self._save(best_path, epoch, config_snapshot)
+                self._save(
+                    best_path, epoch, config_snapshot,
+                    trainer_state={
+                        "best_eer": best_eer, "best_train_loss": best_train_loss,
+                        "best_dev_loss": best_dev_loss,
+                        "epochs_no_improve": epochs_no_improve, "lr": self._lr,
+                    },
+                )
             self.history.append(metrics)
             prev_metrics = metrics
 
@@ -353,7 +400,14 @@ class Trainer:
         self.visualizer.on_training_end(self.history)
         if last_path:
             last_epoch = self.history[-1].epoch if self.history else 0
-            self._save(last_path, last_epoch, config_snapshot)
+            self._save(
+                last_path, last_epoch, config_snapshot,
+                trainer_state={
+                    "best_eer": best_eer, "best_train_loss": best_train_loss,
+                    "best_dev_loss": best_dev_loss,
+                    "epochs_no_improve": epochs_no_improve, "lr": self._lr,
+                },
+            )
         return {
             "best_eer": best_eer,
             "best_train_loss": best_train_loss,
@@ -361,12 +415,15 @@ class Trainer:
             "history": self.history,
         }
 
-    def _save(self, path: str, epoch: int, config_snapshot: dict | None):
+    def _save(self, path: str, epoch: int, config_snapshot: dict | None, trainer_state: dict | None = None):
+        config = dict(config_snapshot or dataclasses.asdict(self.cfg))
+        if trainer_state is not None:
+            config["_trainer_state"] = trainer_state
         ckpt_lib.save_checkpoint(
             path,
             self.variables(),
             opt_state=self.state.opt_state,
             epoch=epoch,
-            config=config_snapshot or dataclasses.asdict(self.cfg),
+            config=config,
             scheduler_state=self.scheduler.state_dict() if self.scheduler else None,
         )
