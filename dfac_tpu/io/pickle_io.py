@@ -251,6 +251,19 @@ def align_labels(
     return np.asarray([lab_map[u] for u in keep], dtype=np.int32)
 
 
+def verify_uttid_alignment(features_path: str, labels_path: str) -> None:
+    """Strict features/labels uttid agreement check; raises on any mismatch
+    (reference ``src/evaluation.py:107-124``). Reads only the uttid columns."""
+    fdf = _read_pickle(features_path)
+    ldf = _read_pickle(labels_path)
+    for df, name, col in ((fdf, "features.pkl", "uttid"), (ldf, "labels.pkl", "uttid")):
+        if col not in df.columns:
+            raise ValueError(f"{name} must contain '{col}'")
+    fu, lu = set(fdf["uttid"]), set(ldf["uttid"])
+    if fu != lu or len(fdf) != len(ldf):
+        raise ValueError("uttid mismatch between features and labels")
+
+
 def write_predictions(path: str, uttids: list[str], scores) -> pd.DataFrame:
     """Write ``prediction.pkl`` byte-compatible with the reference consumers
     (``scripts/evaluation.py`` / ``scripts/generate_submission.py``)."""

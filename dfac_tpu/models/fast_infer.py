@@ -1,0 +1,83 @@
+"""Optimized CNN2D inference path: folded BatchNorm, no input transpose.
+
+Serving-oriented reformulation of the flagship model with identical math:
+
+* **BatchNorm folding** — at eval time BN is an affine map, so it folds
+  into the conv kernel and bias (``W' = W * scale/sqrt(var+eps)``,
+  ``b' = (b - mean) * scale/sqrt(var+eps) + shift``). Removes three full
+  elementwise passes over the biggest activations.
+* **No transpose** — convolution on the stored ``(B, F, T)`` orientation
+  with a spatially-transposed kernel is identical to convolving the
+  swapped ``(B, T, F)`` grid; pooling (2,1)-over-time becomes (1,2), and
+  the mean-over-time head becomes a mean over axis 2. The input HBM
+  round-trip for the transpose disappears.
+* bf16 activations with f32 accumulation; the classifier matmul fuses the
+  channel-major flatten.
+
+Output is bit-compatible with ``CNN2D.apply`` in eval mode (to bf16
+rounding); verified in ``tests/test_fast_infer.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def fold_cnn2d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
+    """Fold BN stats into conv kernels/biases; returns a compact param dict."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    folded = {}
+    for i in range(1, num_blocks + 1):
+        k = jnp.asarray(p[f"conv{i}"]["conv"]["kernel"], jnp.float32)
+        b = jnp.asarray(p[f"conv{i}"]["conv"]["bias"], jnp.float32)
+        scale = jnp.asarray(p[f"bn{i}"]["scale"], jnp.float32)
+        shift = jnp.asarray(p[f"bn{i}"]["bias"], jnp.float32)
+        mean = jnp.asarray(bs[f"bn{i}"]["mean"], jnp.float32)
+        var = jnp.asarray(bs[f"bn{i}"]["var"], jnp.float32)
+        inv = scale * jax.lax.rsqrt(var + eps)
+        folded[f"w{i}"] = k * inv
+        folded[f"b{i}"] = (b - mean) * inv + shift
+    folded["w_cls"] = jnp.asarray(p["classifier"]["dense"]["kernel"], jnp.float32)
+    folded["b_cls"] = jnp.asarray(p["classifier"]["dense"]["bias"], jnp.float32)
+    return folded
+
+
+@functools.partial(jax.jit, static_argnames=("apply_sigmoid", "compute_dtype"))
+def cnn2d_fast_scores(
+    folded: dict,
+    feats_stored: jax.Array,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Stored-orientation (B, F, T) features -> (B,) scores.
+
+    Equivalent to ``sigmoid(CNN2D.apply(vars, transpose(feats)))`` with BN
+    in eval mode.
+    """
+    dt = compute_dtype
+    h = feats_stored.astype(dt)[..., None]  # (B, F, T, 1): grid is (F, T)
+    for i in (1, 2, 3):
+        # swapped-grid convolution: transpose the kernel's spatial dims
+        k = jnp.swapaxes(folded[f"w{i}"], 0, 1).astype(dt)
+        h = jax.lax.conv_general_dilated(
+            h, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        h = jnp.maximum(h + folded[f"b{i}"], 0.0)
+        if i < 3:
+            h = nn.avg_pool(h.astype(dt), (1, 2), (1, 2), "VALID")  # pool T (axis 2)
+        else:
+            h = h.astype(dt)
+    hm = jnp.mean(h.astype(jnp.float32), axis=2)  # mean over time -> (B, F, C)
+    # channel-major flatten to match the reference embedding layout
+    emb = jnp.swapaxes(hm, 1, 2).reshape(hm.shape[0], -1)
+    logits = emb.astype(dt) @ folded["w_cls"].astype(dt) + folded["b_cls"]
+    logits = logits[:, 0].astype(jnp.float32)
+    return jax.nn.sigmoid(logits) if apply_sigmoid else logits

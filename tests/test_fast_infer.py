@@ -1,0 +1,61 @@
+"""Folded-BN / no-transpose fast inference path: equivalence tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfac_tpu.models import build_model
+from dfac_tpu.models.fast_infer import cnn2d_fast_scores, fold_cnn2d
+
+F_, T_, B_ = 20, 33, 4
+
+
+def _trained_like_variables(rng):
+    """Variables with non-trivial BN running stats (as after training)."""
+    model = build_model("cnn2d", in_features=F_, base_channels=8)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, T_, F_)))
+    variables = jax.tree.map(lambda a: a, variables)  # shallow copy
+    bs = variables["batch_stats"]
+    for name, d in bs.items():
+        d["mean"] = jnp.asarray(rng.normal(size=d["mean"].shape) * 0.3, jnp.float32)
+        d["var"] = jnp.asarray(rng.random(d["var"].shape) + 0.5, jnp.float32)
+    return model, variables
+
+
+def test_fast_path_matches_reference_path(rng):
+    model, variables = _trained_like_variables(rng)
+    feats_stored = rng.normal(size=(B_, F_, T_)).astype(np.float32)
+
+    ref_logits = model.apply(variables, jnp.transpose(jnp.asarray(feats_stored), (0, 2, 1)))
+    ref = np.asarray(jax.nn.sigmoid(ref_logits[:, 0]))
+
+    folded = fold_cnn2d(variables)
+    got = np.asarray(cnn2d_fast_scores(folded, jnp.asarray(feats_stored)))
+    # bf16 activations: scores agree to ~1e-2 absolute on sigmoid scale
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+    # f32 compute: tight agreement
+    got32 = np.asarray(
+        cnn2d_fast_scores(folded, jnp.asarray(feats_stored), compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got32, ref, atol=1e-5)
+
+
+def test_fast_path_preserves_score_ordering(rng):
+    """EER only depends on score order — bf16 must preserve it on
+    well-separated inputs."""
+    model, variables = _trained_like_variables(rng)
+    feats = rng.normal(size=(32, F_, T_)).astype(np.float32)
+    feats[::2, : F_ // 2] += 2.0  # spread the logit distribution
+    ref_logits = np.asarray(
+        model.apply(variables, jnp.transpose(jnp.asarray(feats), (0, 2, 1)))
+    )[:, 0]
+    folded = fold_cnn2d(variables)
+    fast = np.asarray(cnn2d_fast_scores(folded, jnp.asarray(feats), apply_sigmoid=False))
+    # high rank correlation (bf16 noise may swap near-ties; an untrained
+    # random model produces tightly clustered logits, hence Spearman not
+    # exact-rank equality)
+    ref_rank = np.argsort(np.argsort(ref_logits)).astype(np.float64)
+    fast_rank = np.argsort(np.argsort(fast)).astype(np.float64)
+    rho = np.corrcoef(ref_rank, fast_rank)[0, 1]
+    assert rho > 0.97
