@@ -32,6 +32,11 @@ from dfac_tpu.io.pickle_io import (
 )
 
 
+class _AttrDict(dict):
+    """dict that tolerates pickle BUILD state (torch state_dicts are
+    OrderedDicts carrying a ``_metadata`` attribute)."""
+
+
 def _load_zip_checkpoint(path: str) -> Any:
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
@@ -54,7 +59,7 @@ def _load_zip_checkpoint(path: str) -> Any:
                     ("torch._tensor", "_rebuild_from_type_v2"): _rebuild_from_type_v2,
                     ("torch.storage", "_load_from_bytes"): _load_storage_from_bytes,
                     ("torch.serialization", "_get_layout"): lambda name: None,
-                    ("collections", "OrderedDict"): dict,
+                    ("collections", "OrderedDict"): _AttrDict,
                 }
                 if (module, name) in shims:
                     return shims[(module, name)]
