@@ -43,7 +43,9 @@ def parse_args(argv=None):
                    help="frames per utterance; waveforms are cropped/zero-padded to match")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--sample-rate", type=int, default=16000)
-    p.add_argument("--no-pallas", action="store_true", help="use the XLA composition path")
+    p.add_argument("--method", default="gemm", choices=["gemm", "fft-pallas", "fft"],
+                   help="front-end implementation (gemm = fused GEMM-native kernel, fastest on TPU)")
+    p.add_argument("--no-pallas", action="store_true", help="alias for --method fft")
     p.add_argument("--tensor-format", default="auto", choices=["auto", "torch", "numpy"])
     return p.parse_args(argv)
 
@@ -78,8 +80,10 @@ def main(argv=None):
         n = min(len(w), n_samples)
         fixed[i, :n] = w[:n]
 
-    feats = lfcc_features_batch(fixed, cfg, batch_size=args.batch_size,
-                                use_pallas=not args.no_pallas)
+    feats = lfcc_features_batch(
+        fixed, cfg, batch_size=args.batch_size,
+        method="fft" if args.no_pallas else args.method,
+    )
     write_features(args.out, uttids, feats, tensor_format=args.tensor_format)
     print(f"wrote {len(uttids)} x {feats.shape[1]}x{feats.shape[2]} features to {args.out}")
 

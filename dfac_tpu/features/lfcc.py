@@ -145,17 +145,36 @@ def lfcc_features(waveform: jax.Array, cfg: LFCCConfig = LFCCConfig(), use_palla
 
 
 def lfcc_features_batch(
-    waveforms: np.ndarray, cfg: LFCCConfig = LFCCConfig(), batch_size: int = 64, use_pallas: bool = True
+    waveforms: np.ndarray,
+    cfg: LFCCConfig = LFCCConfig(),
+    batch_size: int = 64,
+    method: str = "gemm",
+    use_pallas: bool | None = None,
 ) -> np.ndarray:
-    """Host driver: (N, samples) -> (N, 180, T) in device batches."""
+    """Host driver: (N, samples) -> (N, 180, T) in device batches.
+
+    ``method``: 'gemm' (fully-fused GEMM-native Pallas kernel — ~2x the FFT
+    path on TPU), 'fft-pallas' (XLA rFFT + fused post-FFT kernel), or 'fft'
+    (pure XLA composition, the CPU-safe fallback).
+    """
+    if use_pallas is not None:  # backwards-compatible boolean knob
+        method = "fft-pallas" if use_pallas else "fft"
+
+    def one_chunk(chunk):
+        if method == "gemm":
+            from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features
+
+            return gemm_lfcc_features(chunk, cfg)
+        return lfcc_features(chunk, cfg, use_pallas=(method == "fft-pallas"))
+
     try:
         out = []
         for s in range(0, len(waveforms), batch_size):
             chunk = jnp.asarray(waveforms[s : s + batch_size])
-            out.append(np.asarray(lfcc_features(chunk, cfg, use_pallas=use_pallas)))
+            out.append(np.asarray(one_chunk(chunk)))
         return np.concatenate(out) if out else np.zeros((0, cfg.feature_dim, 0), np.float32)
     except Exception:
-        if not use_pallas:
+        if method == "fft":
             raise
         # Pallas unavailable (e.g. CPU backend): XLA composition fallback.
-        return lfcc_features_batch(waveforms, cfg, batch_size, use_pallas=False)
+        return lfcc_features_batch(waveforms, cfg, batch_size, method="fft")
