@@ -77,7 +77,7 @@ def fused_conv_block(x: jax.Array, w: jax.Array, b: jax.Array, pool: bool = True
         functools.partial(_kernel, width=width, c_in=c_in, c_out=c_out, pool=pool),
         grid=(batch, h_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded input stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # padded input stays in HBM
             pl.BlockSpec((3, 3, c_in, c_out), lambda bi, ti: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c_out,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
         ],
