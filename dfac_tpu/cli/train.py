@@ -63,6 +63,8 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU fast path)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (0 = single device)")
+    p.add_argument("--device-resident", action="store_true",
+                   help="upload the training corpus to HBM once; gather batches on device")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a checkpoint (model+optimizer+scheduler+epoch)")
     p.add_argument("--profile-dir", default=None,
@@ -136,6 +138,7 @@ def main(argv=None):
         augment=augment_config_from_args(args),
         compute_dtype="bfloat16" if args.bf16 else None,
         data_parallel=args.data_parallel,
+        device_resident=args.device_resident,
     )
 
     visualizer = create_visualizer(

@@ -73,6 +73,7 @@ class TrainConfig:
     eval_batch_size: int | None = None
     compute_dtype: str | None = None  # None (f32) | "bfloat16"
     data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
+    device_resident: bool = False  # upload corpus once; gather batches on device
 
     def __post_init__(self):
         if not (0.0 <= self.label_smoothing < 0.5):
@@ -91,6 +92,28 @@ def _model_kwargs(cfg: TrainConfig) -> dict:
     if cfg.compute_dtype:
         kw["compute_dtype"] = jnp.dtype(cfg.compute_dtype)
     return kw
+
+
+def make_indexed_train_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    swap_tf: bool,
+    label_smoothing: float,
+    augment_fn: Callable | None,
+):
+    """Device-resident variant: the full corpus lives in HBM; each step
+    receives only an int32 index vector and gathers its batch on device —
+    no per-step host->device feature transfer (the hot-loop H2D copy of the
+    reference's DataLoader, ``src/train.py:61-62``, disappears entirely)."""
+    base = make_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
+
+    @jax.jit
+    def indexed_step(state: TrainState, feats_all, labels_all, idx, weights):
+        feats = jnp.take(feats_all, jnp.maximum(idx, 0), axis=0)
+        labels = jnp.take(labels_all, jnp.maximum(idx, 0), axis=0)
+        return base(state, feats, labels, weights)
+
+    return indexed_step
 
 
 def make_train_step(
@@ -186,6 +209,7 @@ class Trainer:
             self._train_step = make_train_step(
                 self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
             )
+        self._indexed_step = None
         self.history: list[EpochMetrics] = []
         self.state: TrainState | None = None
         self._lr = cfg.lr
@@ -214,9 +238,46 @@ class Trainer:
         return v
 
     # -- loop -------------------------------------------------------------
+    def _resident_arrays(self, ds: ArrayDataset):
+        if getattr(self, "_resident_key", None) is not id(ds):
+            self._resident_feats = jax.device_put(jnp.asarray(ds.features))
+            self._resident_labels = jax.device_put(
+                jnp.asarray((ds.labels if ds.labels is not None else np.zeros(len(ds))).astype(np.float32))
+            )
+            self._resident_key = id(ds)
+            if self._indexed_step is None:
+                self._indexed_step = make_indexed_train_step(
+                    self.model, self.tx, self.cfg.swap_tf, self.cfg.label_smoothing, self.augment_fn
+                )
+        return self._resident_feats, self._resident_labels
+
     def train_epoch(self, ds: ArrayDataset, epoch: int, batch_ctx=None) -> float | None:
         cfg = self.cfg
         total_loss, total_count = 0.0, 0
+        resident = cfg.device_resident and cfg.data_parallel <= 1
+
+        if resident:
+            feats_all, labels_all = self._resident_arrays(ds)
+            order = np.arange(len(ds))
+            np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
+            for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
+                idx = order[start : start + cfg.batch_size]
+                weights = np.ones(len(idx), np.float32)
+                from dfac_tpu.data.pipeline import pad_to_batch
+
+                self.state, loss_sum, count = self._indexed_step(
+                    self.state, feats_all, labels_all,
+                    jnp.asarray(pad_to_batch(idx.astype(np.int32), cfg.batch_size, pad_value=-1)),
+                    jnp.asarray(pad_to_batch(weights, cfg.batch_size)),
+                )
+                total_loss += float(loss_sum)
+                total_count += int(count)
+                if batch_ctx is not None and total_count > 0:
+                    batch_ctx.update_batch(
+                        BatchMetrics(batch_idx=i, running_loss=total_loss / total_count, batch_size=int(count))
+                    )
+            return (total_loss / total_count) if total_count else None
+
         for i, batch in enumerate(
             batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed * 100003 + epoch)
         ):

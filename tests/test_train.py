@@ -138,3 +138,22 @@ def test_checkpoint_raw_state_tolerance(tmp_path, rng):
 def test_label_smoothing_validation():
     with pytest.raises(ValueError):
         TrainConfig(label_smoothing=0.6)
+
+
+def test_device_resident_training_matches_host_fed(rng):
+    """Same seeds + same data => identical training trajectory whether
+    batches are host-fed or gathered from the device-resident corpus."""
+    train_ds = _separable_dataset(rng)
+    dev_ds = _separable_dataset(np.random.default_rng(9), n=24)
+    results = []
+    for resident in (False, True):
+        cfg = TrainConfig(
+            model="cnn1d", batch_size=16, epochs=2, lr=2e-3, seed=3,
+            in_features=16, device_resident=resident,
+        )
+        results.append(Trainer(cfg).fit(train_ds, dev_ds))
+    a, b = results
+    assert a["best_eer"] == b["best_eer"]
+    for ma, mb in zip(a["history"], b["history"]):
+        assert ma.train_loss == pytest.approx(mb.train_loss, rel=1e-6)
+        assert ma.dev_eer == pytest.approx(mb.dev_eer, abs=1e-12)
