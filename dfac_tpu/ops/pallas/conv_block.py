@@ -10,9 +10,12 @@ epilogue -> pooled write, and the pre-pool tensor never touches HBM —
 halving the block's write traffic.
 
 Decomposition: ``out[h, w, co] = sum_{dy,dx} x[h+dy, w+dx, :] @ K[dy, dx]``
-— nine (TILE_H * W, C_in) x (C_in, C_out) MXU matmuls accumulated in f32,
-on a halo'd input tile DMA'd from HBM (rows t*TH-1 .. t*TH+TH+1 of the
-SAME-padded input).
+— nine (TILE_H * Wp, C_in) x (C_in, C_out) MXU matmuls accumulated in f32
+on a halo'd input tile DMA'd from HBM. Mosaic alignment dictates the
+layout: the width axis sits on sublanes padded to 16 (so DMA slices are
+tile-aligned), the dx shifts are ``pltpu.roll`` along the sublane axis
+(zero padding makes the wrapped columns correct), and the dy shifts are
+plain leading-axis slices. The valid 180 columns are sliced on the host.
 """
 
 from __future__ import annotations
@@ -21,14 +24,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 32  # output rows per grid step (pre-pool)
 
 
-def _kernel(xp_ref, w_ref, b_ref, out_ref, scratch, sem, *, width, c_in, c_out, pool):
+def _kernel(xp_ref, w_ref, b_ref, out_ref, scratch, sem, *, wp, c_in, c_out, pool):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
 
@@ -40,19 +42,23 @@ def _kernel(xp_ref, w_ref, b_ref, out_ref, scratch, sem, *, width, c_in, c_out, 
     copy.start()
     copy.wait()
 
-    xin = scratch[:]  # (TILE_H + 2, width + 2, c_in)
-    acc = jnp.zeros((TILE_H * width, c_out), jnp.float32)
+    xin = scratch[:]  # (TILE_H + 2, wp, c_in); data cols 1..w, zeros outside
+    acc = jnp.zeros((TILE_H * wp, c_out), jnp.float32)
     for dy in range(3):
+        xin_dy = xin[dy : dy + TILE_H]
         for dx in range(3):
-            sl = xin[dy : dy + TILE_H, dx : dx + width, :].reshape(TILE_H * width, c_in)
+            # circular shift by (1 - dx) mod wp; wrapped columns carry the
+            # zero padding (pltpu.roll only accepts non-negative shifts)
+            shifted = pltpu.roll(xin_dy, (1 - dx) % wp, axis=1) if dx != 1 else xin_dy
             acc += jax.lax.dot_general(
-                sl, w_ref[dy, dx],
+                shifted.reshape(TILE_H * wp, c_in),
+                w_ref[dy, dx],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    y = jnp.maximum(acc + b_ref[:], 0.0).reshape(TILE_H, width, c_out)
+    y = jnp.maximum(acc + b_ref[:], 0.0).reshape(TILE_H, wp, c_out)
     if pool:
-        y = y.reshape(TILE_H // 2, 2, width, c_out).mean(axis=1)
+        y = y.reshape(TILE_H // 2, 2, wp, c_out).mean(axis=1)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -68,13 +74,14 @@ def fused_conv_block(x: jax.Array, w: jax.Array, b: jax.Array, pool: bool = True
     h_eff = (h // 2) * 2 if pool else h  # floor-mode: drop the odd tail row
     h_tiles = -(-h_eff // TILE_H)
     h_pad = h_tiles * TILE_H
-    # SAME padding + tile padding; halo rows live in the padded array
-    xp = jnp.pad(x, ((0, 0), (1, 1 + h_pad - h), (1, 1), (0, 0)))
+    wp = -(-(width + 2) // 16) * 16  # sublane-aligned padded width
+    # SAME padding (1 col each side) + alignment padding + tile padding
+    xp = jnp.pad(x, ((0, 0), (1, 1 + h_pad - h), (1, wp - width - 1), (0, 0)))
 
     out_rows_tile = TILE_H // 2 if pool else TILE_H
 
     out = pl.pallas_call(
-        functools.partial(_kernel, width=width, c_in=c_in, c_out=c_out, pool=pool),
+        functools.partial(_kernel, wp=wp, c_in=c_in, c_out=c_out, pool=pool),
         grid=(batch, h_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # padded input stays in HBM
@@ -82,22 +89,22 @@ def fused_conv_block(x: jax.Array, w: jax.Array, b: jax.Array, pool: bool = True
             pl.BlockSpec((c_out,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, out_rows_tile, width, c_out), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM
+            (1, out_rows_tile, wp, c_out), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, h_tiles * out_rows_tile, width, c_out), dt),
+        out_shape=jax.ShapeDtypeStruct((batch, h_tiles * out_rows_tile, wp, c_out), dt),
         scratch_shapes=[
-            pltpu.VMEM((TILE_H + 2, width + 2, c_in), dt),
+            pltpu.VMEM((TILE_H + 2, wp, c_in), dt),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * batch * h_pad * width * c_in * c_out * 9,
+            flops=2 * batch * h_pad * wp * c_in * c_out * 9,
             bytes_accessed=x.size * x.dtype.itemsize * 2,
             transcendentals=0,
         ),
     )(xp, w.astype(dt), b.astype(jnp.float32))
 
     real_out = h_eff // 2 if pool else h
-    return out[:, :real_out]
+    return out[:, :real_out, 1 : width + 1]
 
 
 def reference_conv_block(x, w, b, pool: bool = True):
