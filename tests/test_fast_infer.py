@@ -59,3 +59,28 @@ def test_fast_path_preserves_score_ordering(rng):
     fast_rank = np.argsort(np.argsort(fast)).astype(np.float64)
     rho = np.corrcoef(ref_rank, fast_rank)[0, 1]
     assert rho > 0.97
+
+
+def test_bf16_inference_preserves_eer(rng):
+    """BASELINE requirement: dev EER within 0.1% absolute of the f32 path."""
+    from dfac_tpu.data.pipeline import ArrayDataset
+    from dfac_tpu.ops.eer import calculate_eer
+    from dfac_tpu.train.loop import TrainConfig, Trainer
+
+    n = 48
+    labels = (np.arange(n) % 2).astype(np.int32)
+    feats = rng.normal(size=(n, 16, 24)).astype(np.float32)
+    feats[labels == 1, :8] += 1.5
+    train_ds = ArrayDataset([f"t{i}" for i in range(n)], feats, labels)
+    cfg = TrainConfig(model="cnn2d", in_features=16, batch_size=16, epochs=2, lr=2e-3)
+    trainer = Trainer(cfg)
+    trainer.fit(train_ds, train_ds)
+
+    from dfac_tpu.train.evaluate import predict_scores
+
+    f32_scores = predict_scores(trainer.model, trainer.variables(), train_ds, 16)
+    bf16_model = build_model("cnn2d", in_features=16, compute_dtype=jnp.bfloat16)
+    bf16_scores = predict_scores(bf16_model, trainer.variables(), train_ds, 16)
+    eer32, _ = calculate_eer(f32_scores, labels)
+    eer16, _ = calculate_eer(bf16_scores, labels)
+    assert abs(eer16 - eer32) <= 0.001
