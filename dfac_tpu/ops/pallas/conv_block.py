@@ -48,8 +48,17 @@ def _kernel(xp_ref, w_ref, b_ref, out_ref, scratch, sem, *, wp, c_in, c_out, poo
         xin_dy = xin[dy : dy + TILE_H]
         for dx in range(3):
             # circular shift by (1 - dx) mod wp; wrapped columns carry the
-            # zero padding (pltpu.roll only accepts non-negative shifts)
-            shifted = pltpu.roll(xin_dy, (1 - dx) % wp, axis=1) if dx != 1 else xin_dy
+            # zero padding. Mosaic's rotate needs 32-bit data, so bf16
+            # tiles take a VPU round-trip through f32 around the roll; the
+            # MXU contraction stays in the input dtype.
+            if dx == 1:
+                shifted = xin_dy
+            elif xin_dy.dtype == jnp.float32:
+                shifted = pltpu.roll(xin_dy, (1 - dx) % wp, axis=1)
+            else:
+                shifted = pltpu.roll(
+                    xin_dy.astype(jnp.float32), (1 - dx) % wp, axis=1
+                ).astype(xin_dy.dtype)
             acc += jax.lax.dot_general(
                 shifted.reshape(TILE_H * wp, c_in),
                 w_ref[dy, dx],
