@@ -16,6 +16,13 @@ layout: the width axis sits on sublanes padded to 16 (so DMA slices are
 tile-aligned), the dx shifts are ``pltpu.roll`` along the sublane axis
 (zero padding makes the wrapped columns correct), and the dy shifts are
 plain leading-axis slices. The valid 180 columns are sliced on the host.
+
+STATUS: numerically verified (interpret-mode tests); on-hardware
+compilation is blocked by a current Mosaic restriction — manual HBM DMA
+slices require the lane (channel) dimension to be a 128 multiple, and this
+network's channels are 1/32/64. The XLA path (:func:`reference_conv_block`
+/ the flax models) remains the production route; revisit when Mosaic lifts
+the constraint or via a carried-halo BlockSpec pipeline formulation.
 """
 
 from __future__ import annotations
