@@ -9,7 +9,7 @@ reference's historical sweeps.
 
 from __future__ import annotations
 
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-from dfac_tpu.data.augment import AugmentConfig
+
 from dfac_tpu.data.pipeline import ArrayDataset
 from dfac_tpu.obs.base import EpochMetrics
 from dfac_tpu.train.loop import TrainConfig, Trainer

@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
