@@ -443,15 +443,17 @@ class Trainer:
             )
             self.visualizer.on_epoch_end(metrics, prev_metrics)
 
+            trainer_state = {
+                "best_eer": best_eer, "best_train_loss": best_train_loss,
+                "best_dev_loss": best_dev_loss,
+                "epochs_no_improve": epochs_no_improve, "lr": self._lr,
+            }
             if is_best and best_path:
-                self._save(
-                    best_path, epoch, config_snapshot,
-                    trainer_state={
-                        "best_eer": best_eer, "best_train_loss": best_train_loss,
-                        "best_dev_loss": best_dev_loss,
-                        "epochs_no_improve": epochs_no_improve, "lr": self._lr,
-                    },
-                )
+                self._save(best_path, epoch, config_snapshot, trainer_state=trainer_state)
+            if last_path:
+                # refreshed every epoch so a crash resumes from the most
+                # recent state (the reference writes its *_last only at exit)
+                self._save(last_path, epoch, config_snapshot, trainer_state=trainer_state)
             self.history.append(metrics)
             prev_metrics = metrics
 
