@@ -56,7 +56,14 @@ class EpochMetrics:
 
 
 class BatchContext(abc.ABC):
-    """Per-epoch handle passed into the hot loop for batch-level updates."""
+    """Per-epoch handle passed into the hot loop for batch-level updates.
+
+    ``wants_updates`` lets display-less contexts opt out: computing the
+    running loss forces a device->host sync per step, which dominates step
+    time on remote accelerators — the hot loop skips it when nobody looks.
+    """
+
+    wants_updates: bool = True
 
     @abc.abstractmethod
     def update_batch(self, metrics: BatchMetrics) -> None: ...
@@ -79,6 +86,8 @@ class TrainingVisualizer(abc.ABC):
 
 
 class _NullBatchContext(BatchContext):
+    wants_updates = False
+
     def update_batch(self, metrics: BatchMetrics) -> None:
         pass
 

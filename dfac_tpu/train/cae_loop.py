@@ -231,10 +231,12 @@ class CAETrainer:
 
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.perf_counter()
-            total, count = 0.0, 0
+            total = jnp.zeros(())
+            count = jnp.zeros(())
             with self.visualizer.on_epoch_start(
                 epoch, num_batches(len(bona_train), cfg.batch_size)
             ) as batch_ctx:
+                live_ui = batch_ctx is not None and getattr(batch_ctx, "wants_updates", True)
                 for i, batch in enumerate(
                     batch_iterator(bona_train, cfg.batch_size, shuffle=True,
                                    seed=cfg.seed * 100003 + epoch)
@@ -242,11 +244,12 @@ class CAETrainer:
                     self.state, loss_sum, n = train_step(
                         self.state, jnp.asarray(batch.features), jnp.asarray(batch.weights)
                     )
-                    total += float(loss_sum)
-                    count += int(n)
-                    if batch_ctx is not None and count:
-                        batch_ctx.update_batch(BatchMetrics(i, total / count, int(n)))
-            train_loss = total / count if count else None
+                    total = total + loss_sum  # lazy device accumulation
+                    count = count + n
+                    if live_ui and float(count):
+                        batch_ctx.update_batch(BatchMetrics(i, float(total) / float(count), int(n)))
+            count_f = float(count)
+            train_loss = float(total) / count_f if count_f else None
 
             val_loss = self._validate(bona_dev)
             elapsed = time.perf_counter() - t0

@@ -188,7 +188,7 @@ class DetectorTrainer:
         for epoch in range(1, cfg.epochs + 1):
             # weighted sampling WITH replacement, num_samples = N (reference)
             order = rng.choice(n, size=n, replace=True, p=sample_p)
-            total_loss, n_batches = 0.0, 0
+            total_loss, n_batches = jnp.zeros(()), 0
             for start in range(0, n, cfg.batch_size):
                 idx = order[start : start + cfg.batch_size]
                 feats = pad_to_batch(train_ds.features[idx], cfg.batch_size)
@@ -197,8 +197,9 @@ class DetectorTrainer:
                 self.state, loss = train_step(
                     self.state, jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(labs)
                 )
-                total_loss += float(loss)
+                total_loss = total_loss + loss  # lazy device accumulation
                 n_batches += 1
+            total_loss = float(total_loss)
 
             dev_scores = self.scores(dev_ds)
             dev_eer, _ = eer_device(dev_scores, dev_ds.labels)

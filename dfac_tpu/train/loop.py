@@ -253,47 +253,58 @@ class Trainer:
 
     def train_epoch(self, ds: ArrayDataset, epoch: int, batch_ctx=None) -> float | None:
         cfg = self.cfg
-        total_loss, total_count = 0.0, 0
         resident = cfg.device_resident and cfg.data_parallel <= 1
+        # Loss accumulates as lazy device scalars; forcing a float per step
+        # costs one device->host round trip per batch (ruinous on a remote
+        # accelerator). Only a live progress UI pays that price.
+        live_ui = batch_ctx is not None and getattr(batch_ctx, "wants_updates", True)
+        total_loss = jnp.zeros(())
+        total_count = jnp.zeros(())
+
+        def after_step(i, loss_sum, count):
+            nonlocal total_loss, total_count
+            total_loss = total_loss + loss_sum
+            total_count = total_count + count
+            if live_ui:
+                tc = float(total_count)
+                if tc > 0:
+                    batch_ctx.update_batch(
+                        BatchMetrics(
+                            batch_idx=i,
+                            running_loss=float(total_loss) / tc,
+                            batch_size=int(count),
+                        )
+                    )
 
         if resident:
             feats_all, labels_all = self._resident_arrays(ds)
             order = np.arange(len(ds))
             np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
+            from dfac_tpu.data.pipeline import pad_to_batch
+
             for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
                 idx = order[start : start + cfg.batch_size]
                 weights = np.ones(len(idx), np.float32)
-                from dfac_tpu.data.pipeline import pad_to_batch
-
                 self.state, loss_sum, count = self._indexed_step(
                     self.state, feats_all, labels_all,
                     jnp.asarray(pad_to_batch(idx.astype(np.int32), cfg.batch_size, pad_value=-1)),
                     jnp.asarray(pad_to_batch(weights, cfg.batch_size)),
                 )
-                total_loss += float(loss_sum)
-                total_count += int(count)
-                if batch_ctx is not None and total_count > 0:
-                    batch_ctx.update_batch(
-                        BatchMetrics(batch_idx=i, running_loss=total_loss / total_count, batch_size=int(count))
-                    )
-            return (total_loss / total_count) if total_count else None
-
-        for i, batch in enumerate(
-            batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed * 100003 + epoch)
-        ):
-            self.state, loss_sum, count = self._train_step(
-                self.state,
-                jnp.asarray(batch.features),
-                jnp.asarray(batch.labels),
-                jnp.asarray(batch.weights),
-            )
-            total_loss += float(loss_sum)
-            total_count += int(count)
-            if batch_ctx is not None and total_count > 0:
-                batch_ctx.update_batch(
-                    BatchMetrics(batch_idx=i, running_loss=total_loss / total_count, batch_size=int(count))
+                after_step(i, loss_sum, count)
+        else:
+            for i, batch in enumerate(
+                batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed * 100003 + epoch)
+            ):
+                self.state, loss_sum, count = self._train_step(
+                    self.state,
+                    jnp.asarray(batch.features),
+                    jnp.asarray(batch.labels),
+                    jnp.asarray(batch.weights),
                 )
-        return (total_loss / total_count) if total_count else None
+                after_step(i, loss_sum, count)
+
+        tc = float(total_count)
+        return (float(total_loss) / tc) if tc else None
 
     def restore(self, ckpt_path: str) -> dict:
         """Resume from a checkpoint: model variables, optimizer state,
