@@ -43,15 +43,23 @@ def predict_scores(
     swap_tf: bool = True,
     apply_sigmoid: bool = False,
 ) -> np.ndarray:
-    """Score every utterance; returns (N,) float32 in dataset order."""
-    chunks = []
+    """Score every utterance; returns (N,) float32 in dataset order.
+
+    Per-batch results stay on device; one concatenated fetch at the end
+    (a host round trip per batch dominates on remote accelerators).
+    """
+    chunks, masks = [], []
     for batch in batch_iterator(ds, batch_size):
         scores, _ = _eval_step(
             model, variables, jnp.asarray(batch.features), jnp.asarray(batch.labels),
             jnp.asarray(batch.weights), swap_tf, apply_sigmoid, 0.0,
         )
-        chunks.append(np.asarray(scores)[batch.weights > 0])
-    return np.concatenate(chunks) if chunks else np.zeros((0,), np.float32)
+        chunks.append(scores)
+        masks.append(batch.weights > 0)
+    if not chunks:
+        return np.zeros((0,), np.float32)
+    flat = np.asarray(jnp.concatenate(chunks))
+    return flat[np.concatenate(masks)]
 
 
 def evaluate_classifier(
@@ -67,23 +75,29 @@ def evaluate_classifier(
     """Returns ``(metrics, scores, labels)`` like the reference ``evaluate``."""
     if ds.labels is None:
         raise ValueError("evaluate_classifier needs a labeled dataset")
-    all_scores, loss_sum, count = [], 0.0, 0
+    all_scores, masks = [], []
+    loss_sum = jnp.zeros(())  # lazy device accumulation — one fetch at the end
+    count = 0
     for batch in batch_iterator(ds, batch_size):
         scores, batch_loss_sum = _eval_step(
             model, variables, jnp.asarray(batch.features), jnp.asarray(batch.labels),
             jnp.asarray(batch.weights), swap_tf, apply_sigmoid, label_smoothing,
         )
-        all_scores.append(np.asarray(scores)[batch.weights > 0])
-        loss_sum += float(batch_loss_sum)
+        all_scores.append(scores)
+        masks.append(batch.weights > 0)
+        loss_sum = loss_sum + batch_loss_sum
         count += int(batch.weights.sum())
 
-    scores = np.concatenate(all_scores) if all_scores else np.zeros((0,), np.float32)
+    if all_scores:
+        scores = np.asarray(jnp.concatenate(all_scores))[np.concatenate(masks)]
+    else:
+        scores = np.zeros((0,), np.float32)
     labels = np.asarray(ds.labels)
     eer, threshold = (None, None)
     if len(scores):
         eer, threshold = eer_device(scores, labels)
     metrics = {
-        "avg_loss": (loss_sum / count) if (with_loss and count) else None,
+        "avg_loss": (float(loss_sum) / count) if (with_loss and count) else None,
         "eer": eer,
         "threshold": threshold,
     }
