@@ -116,6 +116,37 @@ def make_indexed_train_step(
     return indexed_step
 
 
+def make_epoch_scan(
+    model: Any,
+    tx: optax.GradientTransformation,
+    swap_tf: bool,
+    label_smoothing: float,
+    augment_fn: Callable | None,
+):
+    """One jit program for a FULL epoch: ``lax.scan`` over the batch index
+    matrix of a device-resident corpus. A single dispatch per epoch — no
+    per-step launch overhead at all (decisive on remote accelerators where
+    each dispatch round-trips a relay)."""
+    step = make_indexed_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
+    # reuse the jitted step's traced body inside scan via its wrapped fn
+    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+
+    @jax.jit
+    def epoch_scan(state: TrainState, feats_all, labels_all, idx_mat, weights_mat):
+        def body(carry, xs):
+            st, loss_acc, count_acc = carry
+            idx, weights = xs
+            st, loss_sum, count = base(st, feats_all, labels_all, idx, weights)
+            return (st, loss_acc + loss_sum, count_acc + count), None
+
+        (state_out, loss, count), _ = jax.lax.scan(
+            body, (state, jnp.zeros(()), jnp.zeros(())), (idx_mat, weights_mat)
+        )
+        return state_out, loss, count
+
+    return epoch_scan
+
+
 def make_train_step(
     model: Any,
     tx: optax.GradientTransformation,
@@ -210,6 +241,7 @@ class Trainer:
                 self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
             )
         self._indexed_step = None
+        self._epoch_scan = None
         self.history: list[EpochMetrics] = []
         self.state: TrainState | None = None
         self._lr = cfg.lr
@@ -282,15 +314,33 @@ class Trainer:
             np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
             from dfac_tpu.data.pipeline import pad_to_batch
 
-            for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
-                idx = order[start : start + cfg.batch_size]
-                weights = np.ones(len(idx), np.float32)
-                self.state, loss_sum, count = self._indexed_step(
+            if not live_ui:
+                # whole epoch as one lax.scan program: a single dispatch
+                n_b = -(-len(ds) // cfg.batch_size)
+                idx_mat = np.full((n_b, cfg.batch_size), -1, np.int32)
+                w_mat = np.zeros((n_b, cfg.batch_size), np.float32)
+                for r, start in enumerate(range(0, len(ds), cfg.batch_size)):
+                    chunk = order[start : start + cfg.batch_size]
+                    idx_mat[r, : len(chunk)] = chunk
+                    w_mat[r, : len(chunk)] = 1.0
+                if self._epoch_scan is None:
+                    self._epoch_scan = make_epoch_scan(
+                        self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
+                    )
+                self.state, total_loss, total_count = self._epoch_scan(
                     self.state, feats_all, labels_all,
-                    jnp.asarray(pad_to_batch(idx.astype(np.int32), cfg.batch_size, pad_value=-1)),
-                    jnp.asarray(pad_to_batch(weights, cfg.batch_size)),
+                    jnp.asarray(idx_mat), jnp.asarray(w_mat),
                 )
-                after_step(i, loss_sum, count)
+            else:
+                for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
+                    idx = order[start : start + cfg.batch_size]
+                    weights = np.ones(len(idx), np.float32)
+                    self.state, loss_sum, count = self._indexed_step(
+                        self.state, feats_all, labels_all,
+                        jnp.asarray(pad_to_batch(idx.astype(np.int32), cfg.batch_size, pad_value=-1)),
+                        jnp.asarray(pad_to_batch(weights, cfg.batch_size)),
+                    )
+                    after_step(i, loss_sum, count)
         else:
             for i, batch in enumerate(
                 batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed * 100003 + epoch)
