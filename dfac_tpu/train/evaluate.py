@@ -62,6 +62,88 @@ def predict_scores(
     return flat[np.concatenate(masks)]
 
 
+def make_resident_evaluator(
+    model: Any,
+    batch_size: int,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = False,
+    label_smoothing: float = 0.0,
+):
+    """Whole-split evaluation as ONE device program over a resident corpus.
+
+    ``lax.scan`` over batch indices -> logits, weighted loss sum, and the
+    exact EER crossing counts (:func:`dfac_tpu.ops.eer.eer_counts_jax`) all
+    inside a single jit — one dispatch and a few scalars fetched per epoch,
+    instead of re-transferring the dev features every evaluation.
+    """
+    from dfac_tpu.ops.eer import eer_counts_jax
+
+    @jax.jit
+    def evaluate(variables, feats_all, labels_all, idx_mat, w_mat):
+        def body(loss_acc, xs):
+            idx, w = xs
+            feats = jnp.take(feats_all, jnp.maximum(idx, 0), axis=0)
+            labels = jnp.take(labels_all, jnp.maximum(idx, 0), axis=0)
+            x = jnp.transpose(feats, (0, 2, 1)) if swap_tf else feats
+            out = model.apply(variables, x)
+            logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
+            per = optax.sigmoid_binary_cross_entropy(
+                logits, smooth_labels(labels, label_smoothing)
+            )
+            scores = jax.nn.sigmoid(logits) if apply_sigmoid else logits
+            return loss_acc + jnp.sum(per * w), scores
+
+        loss_sum, scores = jax.lax.scan(body, jnp.zeros(()), (idx_mat, w_mat))
+        flat_scores = scores.reshape(-1)
+        flat_w = w_mat.reshape(-1)
+        flat_idx = idx_mat.reshape(-1)
+        flat_labels = jnp.take(labels_all, jnp.maximum(flat_idx, 0), axis=0)
+        return loss_sum, flat_scores, eer_counts_masked(flat_scores, flat_labels, flat_w)
+
+    def eer_counts_masked(scores, labels, wmask):
+        # Exact EER on the weighted subset: padded rows get -inf scores and
+        # weight 0, so they occupy the bottom of the sort and contribute 0
+        # to both cumulative counts.
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        masked_scores = jnp.where(wmask > 0, scores, neg_inf)
+        order = jnp.argsort(masked_scores, stable=True)
+        s = masked_scores[order]
+        l = (labels * wmask)[order].astype(jnp.int32)
+        w = wmask[order].astype(jnp.int32)
+        n_bona = jnp.sum(l)
+        n_total = jnp.sum(w)
+        n_spoof = n_total - n_bona
+        pad = jnp.zeros((1,), jnp.int32)
+        cum_spoof = jnp.concatenate([pad, jnp.cumsum((1 - l) * w, dtype=jnp.int32)])
+        cum_bona = jnp.concatenate([pad, jnp.cumsum(l, dtype=jnp.int32)])
+        far_num = n_spoof - cum_spoof
+        frr_num = cum_bona
+        diff = jnp.abs(n_bona * far_num - n_spoof * frr_num)
+        # exclude sentinel positions that precede real data: positions
+        # 0..n_pad correspond to thresholds below every real score; the
+        # reference curve starts at index 0 == FAR 1 / FRR 0 which is
+        # position n_pad here. Masking earlier positions with +inf diff
+        # keeps the argmin on the real curve.
+        n_pad = (jnp.asarray(w.shape[0], jnp.int32) - n_total)
+        pos = jnp.arange(w.shape[0] + 1)
+        diff = jnp.where(pos >= n_pad, diff, jnp.iinfo(jnp.int32).max)
+        eer_idx = jnp.argmin(diff)
+        from dfac_tpu.ops.eer import THRESHOLD_EPSILON
+
+        threshold = jnp.where(
+            eer_idx == n_pad,
+            s[n_pad] - THRESHOLD_EPSILON,
+            jnp.where(
+                eer_idx == w.shape[0],
+                s[-1] + THRESHOLD_EPSILON,
+                s[jnp.maximum(eer_idx - 1, 0)],
+            ),
+        )
+        return far_num[eer_idx], frr_num[eer_idx], n_spoof, n_bona, threshold
+
+    return evaluate
+
+
 def evaluate_classifier(
     model: Any,
     variables: dict,

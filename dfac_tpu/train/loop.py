@@ -270,6 +270,46 @@ class Trainer:
         return v
 
     # -- loop -------------------------------------------------------------
+    def _resident_dev_metrics(self, dev_ds: ArrayDataset) -> dict:
+        """One-dispatch dev evaluation on a device-resident dev split."""
+        from dfac_tpu.train.evaluate import make_resident_evaluator
+
+        cfg = self.cfg
+        bs = cfg.eval_batch_size or cfg.batch_size
+        if getattr(self, "_dev_resident_key", None) is not id(dev_ds):
+            from dfac_tpu.data.pipeline import pad_to_batch
+
+            self._dev_feats = jax.device_put(jnp.asarray(dev_ds.features))
+            self._dev_labels = jax.device_put(jnp.asarray(dev_ds.labels.astype(np.float32)))
+            n = len(dev_ds)
+            n_b = -(-n // bs)
+            idx = np.full((n_b * bs,), -1, np.int32)
+            idx[:n] = np.arange(n)
+            w = np.zeros((n_b * bs,), np.float32)
+            w[:n] = 1.0
+            self._dev_idx = jnp.asarray(idx.reshape(n_b, bs))
+            self._dev_w = jnp.asarray(w.reshape(n_b, bs))
+            self._dev_eval = make_resident_evaluator(
+                self.model, bs, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing
+            )
+            self._dev_resident_key = id(dev_ds)
+
+        loss_sum, _scores, counts = self._dev_eval(
+            self.variables(), self._dev_feats, self._dev_labels, self._dev_idx, self._dev_w
+        )
+        far_num, frr_num, ns, nb, thr = jax.device_get(counts)
+        n = len(dev_ds)
+        if ns == 0 or nb == 0:
+            eer = 0.0
+            thr = 0.0
+        else:
+            eer = (float(far_num) / int(ns) + float(frr_num) / int(nb)) / 2.0
+        return {
+            "avg_loss": float(loss_sum) / n if n else None,
+            "eer": eer,
+            "threshold": float(thr),
+        }
+
     def _resident_arrays(self, ds: ArrayDataset):
         if getattr(self, "_resident_key", None) is not id(ds):
             self._resident_feats = jax.device_put(jnp.asarray(ds.features))
@@ -444,14 +484,17 @@ class Trainer:
             ) as batch_ctx:
                 train_loss = self.train_epoch(train_ds, epoch, batch_ctx)
 
-            dev_metrics, _, _ = evaluate_classifier(
-                self.model,
-                self.variables(),
-                dev_ds,
-                batch_size=cfg.eval_batch_size or cfg.batch_size,
-                swap_tf=cfg.swap_tf,
-                label_smoothing=cfg.label_smoothing,
-            )
+            if cfg.device_resident and cfg.data_parallel <= 1 and dev_ds.labels is not None:
+                dev_metrics = self._resident_dev_metrics(dev_ds)
+            else:
+                dev_metrics, _, _ = evaluate_classifier(
+                    self.model,
+                    self.variables(),
+                    dev_ds,
+                    batch_size=cfg.eval_batch_size or cfg.batch_size,
+                    swap_tf=cfg.swap_tf,
+                    label_smoothing=cfg.label_smoothing,
+                )
             eer = dev_metrics["eer"]
             dev_loss = dev_metrics["avg_loss"]
             elapsed = time.perf_counter() - t0

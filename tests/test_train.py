@@ -157,3 +157,23 @@ def test_device_resident_training_matches_host_fed(rng):
     for ma, mb in zip(a["history"], b["history"]):
         assert ma.train_loss == pytest.approx(mb.train_loss, rel=1e-6)
         assert ma.dev_eer == pytest.approx(mb.dev_eer, abs=1e-12)
+
+
+def test_resident_evaluator_matches_host_eval(rng):
+    """One-dispatch resident dev eval == host-fed evaluate_classifier
+    (loss, EER, threshold) including the padded-tail batch."""
+    train_ds = _separable_dataset(rng)
+    dev_ds = _separable_dataset(np.random.default_rng(11), n=22)  # ragged tail
+    cfg = TrainConfig(model="cnn1d", batch_size=8, epochs=1, lr=2e-3, seed=5,
+                      in_features=16, device_resident=True, label_smoothing=0.05)
+    trainer = Trainer(cfg)
+    trainer.fit(train_ds, dev_ds)
+
+    host_metrics, _, _ = evaluate_classifier(
+        trainer.model, trainer.variables(), dev_ds, batch_size=8,
+        swap_tf=True, label_smoothing=0.05,
+    )
+    res_metrics = trainer._resident_dev_metrics(dev_ds)
+    assert res_metrics["eer"] == pytest.approx(host_metrics["eer"], abs=1e-12)
+    assert res_metrics["threshold"] == pytest.approx(host_metrics["threshold"], abs=1e-5)
+    assert res_metrics["avg_loss"] == pytest.approx(host_metrics["avg_loss"], rel=1e-5)
