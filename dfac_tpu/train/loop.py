@@ -122,17 +122,33 @@ def make_epoch_scan(
     swap_tf: bool,
     label_smoothing: float,
     augment_fn: Callable | None,
+    n_examples: int,
+    batch_size: int,
 ):
-    """One jit program for a FULL epoch: ``lax.scan`` over the batch index
-    matrix of a device-resident corpus. A single dispatch per epoch — no
-    per-step launch overhead at all (decisive on remote accelerators where
-    each dispatch round-trips a relay)."""
+    """One jit program for a FULL epoch: shuffle + ``lax.scan`` over the
+    batches of a device-resident corpus. A single dispatch per epoch with a
+    scalar seed as the only input — no per-step launch overhead and no
+    per-epoch host->device transfer at all (decisive on remote accelerators
+    where every transfer/dispatch round-trips a relay). The shuffle is a
+    device-side ``jax.random.permutation`` keyed by the epoch seed."""
     step = make_indexed_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
     # reuse the jitted step's traced body inside scan via its wrapped fn
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+    n_batches = -(-n_examples // batch_size)
+    padded = n_batches * batch_size
 
     @jax.jit
-    def epoch_scan(state: TrainState, feats_all, labels_all, idx_mat, weights_mat):
+    def epoch_scan(state: TrainState, feats_all, labels_all, epoch_seed):
+        perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples)
+        idx_flat = jnp.concatenate(
+            [perm.astype(jnp.int32), jnp.full((padded - n_examples,), -1, jnp.int32)]
+        )
+        w_flat = jnp.concatenate(
+            [jnp.ones((n_examples,), jnp.float32), jnp.zeros((padded - n_examples,), jnp.float32)]
+        )
+        idx_mat = idx_flat.reshape(n_batches, batch_size)
+        weights_mat = w_flat.reshape(n_batches, batch_size)
+
         def body(carry, xs):
             st, loss_acc, count_acc = carry
             idx, weights = xs
@@ -297,7 +313,8 @@ class Trainer:
         loss_sum, _scores, counts = self._dev_eval(
             self.variables(), self._dev_feats, self._dev_labels, self._dev_idx, self._dev_w
         )
-        far_num, frr_num, ns, nb, thr = jax.device_get(counts)
+        # single host fetch for everything the epoch loop needs
+        loss_sum, (far_num, frr_num, ns, nb, thr) = jax.device_get((loss_sum, counts))
         n = len(dev_ds)
         if ns == 0 or nb == 0:
             eer = 0.0
@@ -356,20 +373,16 @@ class Trainer:
 
             if not live_ui:
                 # whole epoch as one lax.scan program: a single dispatch
-                n_b = -(-len(ds) // cfg.batch_size)
-                idx_mat = np.full((n_b, cfg.batch_size), -1, np.int32)
-                w_mat = np.zeros((n_b, cfg.batch_size), np.float32)
-                for r, start in enumerate(range(0, len(ds), cfg.batch_size)):
-                    chunk = order[start : start + cfg.batch_size]
-                    idx_mat[r, : len(chunk)] = chunk
-                    w_mat[r, : len(chunk)] = 1.0
+                # with a scalar seed — the shuffle permutation is drawn on
+                # device, so nothing crosses the host boundary per epoch
                 if self._epoch_scan is None:
                     self._epoch_scan = make_epoch_scan(
-                        self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
+                        self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
+                        self.augment_fn, n_examples=len(ds), batch_size=cfg.batch_size,
                     )
                 self.state, total_loss, total_count = self._epoch_scan(
                     self.state, feats_all, labels_all,
-                    jnp.asarray(idx_mat), jnp.asarray(w_mat),
+                    np.int64(cfg.seed * 100003 + epoch),
                 )
             else:
                 for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
