@@ -123,6 +123,88 @@ def fused_conv_block(x: jax.Array, w: jax.Array, b: jax.Array, pool: bool = True
     return out[:, :real_out, 1 : width + 1]
 
 
+def _kernel_v2(x_ref, w_ref, b_ref, out_ref, carry, *, wp, c_in, c_out, pool):
+    """Carried-halo variant: pipelined BlockSpec input (no manual DMA, so no
+    HBM lane-alignment constraints); 3 rows of the previous tile persist in
+    VMEM scratch across the sequential grid, providing the conv halo and a
+    2-row phase shift that keeps pooled pairs inside one tile."""
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)  # SAME top padding at batch start
+
+    xin_new = x_ref[0]  # (TILE_H, wp, c_in)
+    work = jnp.concatenate([carry[:], xin_new], axis=0)  # rows [t*TH-3, t*TH+TH)
+
+    acc = jnp.zeros((TILE_H * wp, c_out), jnp.float32)
+    for dy in range(3):
+        # local out row j = true row t*TH-2+j uses x rows (.. -3+j+dy)
+        wdy = work[dy : dy + TILE_H]
+        for dx in range(3):
+            if dx == 1:
+                shifted = wdy
+            elif wdy.dtype == jnp.float32:
+                shifted = pltpu.roll(wdy, (1 - dx) % wp, axis=1)
+            else:
+                shifted = pltpu.roll(wdy.astype(jnp.float32), (1 - dx) % wp, axis=1).astype(wdy.dtype)
+            acc += jax.lax.dot_general(
+                shifted.reshape(TILE_H * wp, c_in),
+                w_ref[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y = jnp.maximum(acc + b_ref[:], 0.0).reshape(TILE_H, wp, c_out)
+    if pool:
+        y = y.reshape(TILE_H // 2, 2, wp, c_out).mean(axis=1)
+    out_ref[0] = y.astype(out_ref.dtype)
+    carry[:] = xin_new[TILE_H - 3 :]
+
+
+@functools.partial(jax.jit, static_argnames=("pool",))
+def fused_conv_block_v2(x: jax.Array, w: jax.Array, b: jax.Array, pool: bool = True) -> jax.Array:
+    """Pipelined-halo fused conv block (see :func:`_kernel_v2`).
+
+    Output semantics identical to :func:`fused_conv_block` /
+    :func:`reference_conv_block`.
+    """
+    batch, h, width, c_in = x.shape
+    c_out = w.shape[-1]
+    dt = x.dtype
+
+    h_eff = (h // 2) * 2 if pool else h  # floor-mode pooling drops odd tail
+    n_tiles = -(-(h_eff + 2) // TILE_H)  # coverage for the +2 phase shift
+    wp = -(-(width + 2) // 16) * 16
+    xp = jnp.pad(x, ((0, 0), (0, n_tiles * TILE_H - h), (1, wp - width - 1), (0, 0)))
+
+    out_rows_tile = TILE_H // 2 if pool else TILE_H
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, wp=wp, c_in=c_in, c_out=c_out, pool=pool),
+        grid=(batch, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE_H, wp, c_in), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c_in, c_out), lambda bi, ti: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_rows_tile, wp, c_out), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_tiles * out_rows_tile, wp, c_out), dt),
+        scratch_shapes=[pltpu.VMEM((3, wp, c_in), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * n_tiles * TILE_H * wp * c_in * c_out * 9,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+    )(xp, w.astype(dt), b.astype(jnp.float32))
+
+    # pre-pool phase shift is 2 true rows; pooled rows shift by 1
+    if pool:
+        return out[:, 1 : 1 + h_eff // 2, 1 : width + 1]
+    return out[:, 2 : 2 + h, 1 : width + 1]
+
+
 def reference_conv_block(x, w, b, pool: bool = True):
     """XLA composition of the same block (for tests and as fallback)."""
     y = jax.lax.conv_general_dilated(
@@ -144,9 +226,9 @@ def cnn2d_fused_scores(folded: dict, feats_swapped: jax.Array, apply_sigmoid: bo
     ``folded`` comes from :func:`dfac_tpu.models.fast_infer.fold_cnn2d`.
     """
     h = feats_swapped.astype(jnp.bfloat16)[..., None]
-    h = fused_conv_block(h, folded["w1"], folded["b1"], pool=True)
-    h = fused_conv_block(h, folded["w2"], folded["b2"], pool=True)
-    h = fused_conv_block(h, folded["w3"], folded["b3"], pool=False)
+    h = fused_conv_block_v2(h, folded["w1"], folded["b1"], pool=True)
+    h = fused_conv_block_v2(h, folded["w2"], folded["b2"], pool=True)
+    h = fused_conv_block_v2(h, folded["w3"], folded["b3"], pool=False)
     hm = jnp.mean(h.astype(jnp.float32), axis=1)  # (B, F, C)
     emb = jnp.swapaxes(hm, 1, 2).reshape(hm.shape[0], -1)
     logits = emb.astype(jnp.bfloat16) @ folded["w_cls"].astype(jnp.bfloat16) + folded["b_cls"]

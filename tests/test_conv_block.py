@@ -43,3 +43,23 @@ def test_full_fused_cnn2d_scores(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(cnn2d_fused_scores(folded, x_swapped))
     np.testing.assert_allclose(got, ref, atol=2e-2)  # bf16 activations
+
+
+@pytest.mark.parametrize("h,w,cin,cout,pool", [
+    (64, 24, 8, 16, True),
+    (33, 24, 8, 16, True),
+    (32, 24, 8, 16, False),
+    (40, 20, 1, 8, True),
+    (96, 24, 8, 16, True),   # multiple tiles
+])
+def test_fused_block_v2_matches_xla(rng, h, w, cin, cout, pool):
+    from dfac_tpu.ops.pallas.conv_block import fused_conv_block_v2
+
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    wk = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = reference_conv_block(x, wk, b, pool=pool)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_conv_block_v2(x, wk, b, pool=pool)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
