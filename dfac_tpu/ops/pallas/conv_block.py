@@ -17,12 +17,21 @@ tile-aligned), the dx shifts are ``pltpu.roll`` along the sublane axis
 (zero padding makes the wrapped columns correct), and the dy shifts are
 plain leading-axis slices. The valid 180 columns are sliced on the host.
 
-STATUS: numerically verified (interpret-mode tests); on-hardware
-compilation is blocked by a current Mosaic restriction — manual HBM DMA
-slices require the lane (channel) dimension to be a 128 multiple, and this
-network's channels are 1/32/64. The XLA path (:func:`reference_conv_block`
-/ the flax models) remains the production route; revisit when Mosaic lifts
-the constraint or via a carried-halo BlockSpec pipeline formulation.
+STATUS (measured on one v5e):
+* :func:`fused_conv_block` (manual-DMA variant) — numerically verified in
+  interpret mode; hardware compile blocked by a Mosaic restriction (manual
+  HBM DMA slices need a 128-multiple lane dim; channels here are 1/32/64).
+* :func:`fused_conv_block_v2` (carried-halo BlockSpec pipeline) — compiles
+  and is bit-exact on hardware (3e-5 max diff), but measures ~4x SLOWER
+  than XLA's conv at these shapes (block2: 63 ms vs 16 ms at B=512): with
+  C_in = 32 the nine K=32 contractions run the MXU at ~25% occupancy and
+  the width-shift rolls cost f32<->bf16 VPU round trips, which outweighs
+  the saved pool-stage HBM traffic. XLA's implicit-im2col conv lowering is
+  simply better at small channel counts.
+
+The XLA path (:func:`reference_conv_block` / the flax models) is therefore
+the production route; these kernels are retained as verified infrastructure
+for wide-channel variants where the fusion math flips.
 """
 
 from __future__ import annotations
