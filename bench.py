@@ -46,7 +46,7 @@ def main() -> None:
 
     @jax.jit
     def score_batch(variables, waves):
-        feats = gemm_lfcc_features(waves, cfg)  # (B, 180, 321)
+        feats = gemm_lfcc_features(waves, cfg, compute_dtype=jnp.bfloat16)  # (B, 180, 321)
         x = jnp.transpose(feats, (0, 2, 1))
         return jax.nn.sigmoid(model.apply(variables, x)[:, 0])
 

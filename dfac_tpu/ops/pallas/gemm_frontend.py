@@ -89,18 +89,28 @@ def frames_by_reshape(waveform: jax.Array, cfg: lfcc_mod.LFCCConfig) -> jax.Arra
     return jnp.concatenate([blocks[..., :-1, :], blocks[..., 1:, :]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def gemm_lfcc_cepstra(waveform: jax.Array, cfg: lfcc_mod.LFCCConfig) -> jax.Array:
-    """(..., N) waveform -> (..., T, n_ceps) static cepstra, fully fused."""
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def gemm_lfcc_cepstra(
+    waveform: jax.Array, cfg: lfcc_mod.LFCCConfig, compute_dtype=jnp.float32
+) -> jax.Array:
+    """(..., N) waveform -> (..., T, n_ceps) static cepstra, fully fused.
+
+    ``compute_dtype=bfloat16`` feeds the DFT matmul bf16 frames/basis (f32
+    accumulation): ~20% faster on v5e with cepstra differing at the bf16
+    mantissa level (the accuracy-critical log/filterbank/DCT stages stay
+    f32).
+    """
     frames = frames_by_reshape(waveform.astype(jnp.float32), cfg)
     lead = frames.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
     rows_pad = -(-rows // ROW_TILE) * ROW_TILE
     flat = frames.reshape(rows, cfg.win_length)
     flat = jnp.pad(flat, ((0, rows_pad - rows), (0, K_IN_PAD - cfg.win_length)))
+    flat = flat.astype(compute_dtype)
 
     basis_np, fb_np, dct_np = _host_constants(cfg)
-    basis, fb, dct = jnp.asarray(basis_np), jnp.asarray(fb_np), jnp.asarray(dct_np)
+    basis = jnp.asarray(basis_np).astype(compute_dtype)
+    fb, dct = jnp.asarray(fb_np), jnp.asarray(dct_np)
     scalars = jnp.asarray([cfg.log_floor, float(cfg.n_filters)], jnp.float32)
 
     out = pl.pallas_call(
@@ -125,11 +135,15 @@ def gemm_lfcc_cepstra(waveform: jax.Array, cfg: lfcc_mod.LFCCConfig) -> jax.Arra
     return out[:rows, : cfg.n_ceps].reshape(*lead, cfg.n_ceps)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def gemm_lfcc_features(waveform: jax.Array, cfg: lfcc_mod.LFCCConfig = lfcc_mod.LFCCConfig()) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def gemm_lfcc_features(
+    waveform: jax.Array,
+    cfg: lfcc_mod.LFCCConfig = lfcc_mod.LFCCConfig(),
+    compute_dtype=jnp.float32,
+) -> jax.Array:
     """(..., N) waveform -> (..., 180, T) stored-orientation features via the
     fully-fused GEMM front-end (drop-in for :func:`lfcc_features`)."""
-    ceps = gemm_lfcc_cepstra(waveform, cfg)
+    ceps = gemm_lfcc_cepstra(waveform, cfg, compute_dtype=compute_dtype)
     d1 = lfcc_mod.compute_deltas(ceps, cfg.delta_window)
     d2 = lfcc_mod.compute_deltas(d1, cfg.delta_window)
     feats = jnp.concatenate([ceps, d1, d2], axis=-1)

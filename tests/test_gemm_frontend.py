@@ -56,3 +56,16 @@ def test_gemm_frontend_batched():
     assert feats.shape == (3, 180, 17)
     ref = np.asarray(lfcc_features(waves[1], CFG))
     np.testing.assert_allclose(feats[1], ref, atol=5e-3, rtol=1e-3)
+
+
+def test_gemm_frontend_bf16_close_to_f32():
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    w = _wave(17)
+    with pltpu.force_tpu_interpret_mode():
+        f32 = np.asarray(gemm_lfcc_features(w, CFG))
+        b16 = np.asarray(gemm_lfcc_features(w, CFG, compute_dtype=jnp.bfloat16))
+    # bf16 DFT inputs: cepstra agree to bf16 mantissa scale; downstream
+    # consumers (CNN in bf16) are insensitive at this level
+    np.testing.assert_allclose(b16, f32, atol=0.2, rtol=0.05)
