@@ -50,13 +50,17 @@ class ArrayDataset:
 
 
 def load_dataset(features_path: str, labels_path: str | None = None) -> ArrayDataset:
-    """Load features (+ optionally labels inner-merged on uttid, strict)."""
-    uttids, feats = load_features(features_path)
+    """Load features (+ optionally labels inner-merged on uttid, strict).
+
+    Variable-length corpora come back padded with ``lengths`` populated, so
+    masked pooling (the detector's StatsPool) sees the true frame counts.
+    """
+    uttids, feats, lengths = load_features(features_path, return_lengths=True)
     labels = None
     if labels_path is not None:
         luttids, raw = load_labels(labels_path)
         labels = align_labels(uttids, luttids, raw)
-    return ArrayDataset(uttids=uttids, features=feats, labels=labels)
+    return ArrayDataset(uttids=uttids, features=feats, labels=labels, lengths=lengths)
 
 
 @dataclasses.dataclass

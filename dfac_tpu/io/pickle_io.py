@@ -186,12 +186,17 @@ def _cell_to_numpy(cell: Any) -> np.ndarray:
     return np.asarray(cell)
 
 
-def load_features(path: str, dtype=np.float32) -> tuple[list[str], np.ndarray]:
+def load_features(
+    path: str, dtype=np.float32, return_lengths: bool = False
+) -> tuple[list[str], np.ndarray] | tuple[list[str], np.ndarray, np.ndarray | None]:
     """Load ``features.pkl`` into ``(uttids, array[N, F, T])``.
 
     Stored orientation is ``[feature=180, time=321]`` (reference
     ``README.md:76``); no transpose is applied here — axis handling is an
     explicit, jit-compiled step downstream (:mod:`dfac_tpu.data.pipeline`).
+
+    With ``return_lengths``, also returns the per-utterance true time
+    lengths for variable-length corpora (None when all rows share a shape).
     """
     df = _read_pickle(path)
     if "uttid" not in df.columns or "features" not in df.columns:
@@ -199,15 +204,21 @@ def load_features(path: str, dtype=np.float32) -> tuple[list[str], np.ndarray]:
     uttids = [str(u) for u in df["uttid"].tolist()]
     mats = [_cell_to_numpy(c).astype(dtype, copy=False) for c in df["features"]]
     shapes = {m.shape for m in mats}
+    lengths = None
     if len(shapes) == 1:
         feats = np.stack(mats).astype(dtype, copy=False)
     else:
-        # Variable-length corpus (dlqueen path): right-pad time to the max.
+        # Variable-length corpus (dlqueen path): right-pad time to the max,
+        # keeping the true lengths for masked pooling downstream.
         f_dim = mats[0].shape[0]
         t_max = max(m.shape[1] for m in mats)
         feats = np.zeros((len(mats), f_dim, t_max), dtype=dtype)
+        lengths = np.zeros(len(mats), np.int32)
         for i, m in enumerate(mats):
             feats[i, :, : m.shape[1]] = m
+            lengths[i] = m.shape[1]
+    if return_lengths:
+        return uttids, feats, lengths
     return uttids, feats
 
 

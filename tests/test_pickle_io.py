@@ -112,3 +112,20 @@ def test_submission_uttid_mismatch_raises(synthetic_corpus, tmp_path):
             synthetic_corpus["features_path"], pred_path, "s", "f", "l", "n",
             output_dir=str(tmp_path),
         )
+
+
+def test_load_dataset_populates_lengths_for_variable_corpus(tmp_path):
+    torch = pytest.importorskip("torch")
+    from dfac_tpu.data.pipeline import load_dataset
+
+    cells = [torch.randn(12, t) for t in (30, 21, 17)]
+    pd.DataFrame({"uttid": ["a", "b", "c"], "features": cells}).to_pickle(tmp_path / "f.pkl")
+    pd.DataFrame({"uttid": ["a", "b", "c"], "label": [1, 0, 1]}).to_pickle(tmp_path / "l.pkl")
+    ds = load_dataset(str(tmp_path / "f.pkl"), str(tmp_path / "l.pkl"))
+    np.testing.assert_array_equal(ds.lengths, [30, 21, 17])
+    assert ds.features.shape == (3, 12, 30)
+    # fixed-shape corpora keep lengths None (full frames implied)
+    fixed = [torch.randn(12, 20) for _ in range(3)]
+    pd.DataFrame({"uttid": ["a", "b", "c"], "features": fixed}).to_pickle(tmp_path / "f2.pkl")
+    ds2 = load_dataset(str(tmp_path / "f2.pkl"))
+    assert ds2.lengths is None
