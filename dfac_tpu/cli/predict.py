@@ -25,6 +25,8 @@ def parse_args(argv=None):
     p.add_argument("--in-features", type=int, default=180)
     p.add_argument("--dropout", type=float, default=0.3)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard each scoring batch over N devices (0 = single device)")
     sig = p.add_mutually_exclusive_group()
     sig.add_argument("--apply-sigmoid", dest="apply_sigmoid", action="store_true", default=True)
     sig.add_argument("--no-apply-sigmoid", dest="apply_sigmoid", action="store_false")
@@ -56,9 +58,16 @@ def main(argv=None):
     variables = load_model_variables(args.checkpoint, model_name=args.model)
     ds = load_dataset(args.features)
 
+    mesh = None
+    if args.data_parallel > 1:
+        from dfac_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel)
+
     scores = predict_scores(
         model, variables, ds,
         batch_size=args.batch_size, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
+        mesh=mesh,
     )
     if len(scores) != len(ds):
         raise ValueError("Number of predictions does not match number of rows in features.pkl")

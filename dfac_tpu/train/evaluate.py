@@ -42,17 +42,35 @@ def predict_scores(
     batch_size: int = 128,
     swap_tf: bool = True,
     apply_sigmoid: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Score every utterance; returns (N,) float32 in dataset order.
 
     Per-batch results stay on device; one concatenated fetch at the end
     (a host round trip per batch dominates on remote accelerators).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis), every batch
+    is sharded over the mesh's data axis and GSPMD parallelizes the forward
+    across devices — batch_size must divide by the axis size.
     """
+    shard = None
+    if mesh is not None:
+        from dfac_tpu.parallel.mesh import batch_sharding, replicate
+
+        if batch_size % mesh.shape["data"] != 0:
+            raise ValueError("batch_size must divide over the mesh data axis")
+        shard = batch_sharding(mesh)
+        variables = jax.device_put(variables, replicate(mesh))
+
+    def put(x):
+        arr = jnp.asarray(x)
+        return jax.device_put(arr, shard) if shard is not None else arr
+
     chunks, masks = [], []
     for batch in batch_iterator(ds, batch_size):
         scores, _ = _eval_step(
-            model, variables, jnp.asarray(batch.features), jnp.asarray(batch.labels),
-            jnp.asarray(batch.weights), swap_tf, apply_sigmoid, 0.0,
+            model, variables, put(batch.features), put(batch.labels),
+            put(batch.weights), swap_tf, apply_sigmoid, 0.0,
         )
         chunks.append(scores)
         masks.append(batch.weights > 0)

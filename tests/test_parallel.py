@@ -143,3 +143,22 @@ def test_shard_model_params_rule(eight_devices):
     assert not placed["big"].sharding.is_fully_replicated
     assert placed["small"].sharding.is_fully_replicated
     assert placed["vec"].sharding.is_fully_replicated
+
+
+def test_predict_scores_with_mesh_matches_single(rng, eight_devices):
+    from dfac_tpu.data.pipeline import ArrayDataset
+    from dfac_tpu.train.evaluate import predict_scores
+
+    model, _, state = _setup()
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ds = ArrayDataset(
+        [f"u{i}" for i in range(20)],
+        rng.normal(size=(20, F_, T_)).astype(np.float32),
+        np.zeros(20, np.int32),
+    )
+    ref = predict_scores(model, variables, ds, batch_size=8)
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    got = predict_scores(model, variables, ds, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    with pytest.raises(ValueError, match="divide"):
+        predict_scores(model, variables, ds, batch_size=6, mesh=mesh)
