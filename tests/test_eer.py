@@ -93,3 +93,15 @@ def test_eer_invariance_monotone_transform():
     eer1, _ = calculate_eer(scores, labels)
     eer2, _ = calculate_eer(1 / (1 + np.exp(-scores)), labels)
     assert eer1 == pytest.approx(eer2)
+
+
+def test_eer_large_scale_device():
+    """100k-score EER: device sort+cumsum path at production scale."""
+    rng = np.random.default_rng(0)
+    labels = (rng.random(100_000) > 0.4).astype(int)
+    scores = rng.normal(size=100_000) + labels * 0.8
+    eer_np, thr_np = calculate_eer(scores, labels)
+    eer_d, thr_d = eer_device(scores, labels)
+    assert eer_d == pytest.approx(eer_np, abs=0)
+    assert thr_d == pytest.approx(thr_np, abs=1e-6)
+    assert 0.2 < eer_d < 0.4  # sanity for this separation
