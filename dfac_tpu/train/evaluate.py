@@ -82,7 +82,6 @@ def predict_scores(
 
 def make_resident_evaluator(
     model: Any,
-    batch_size: int,
     swap_tf: bool = True,
     apply_sigmoid: bool = False,
     label_smoothing: float = 0.0,

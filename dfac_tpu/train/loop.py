@@ -306,7 +306,7 @@ class Trainer:
             self._dev_idx = jnp.asarray(idx.reshape(n_b, bs))
             self._dev_w = jnp.asarray(w.reshape(n_b, bs))
             self._dev_eval = make_resident_evaluator(
-                self.model, bs, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing
+                self.model, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing
             )
             self._dev_resident_key = id(dev_ds)
 
