@@ -73,9 +73,41 @@ def load_checkpoint(path: str) -> dict:
     return {"model_state": ckpt, "optimizer_state": None, "epoch": 0, "config": {}}
 
 
+def save_checkpoint_orbax(
+    path: str,
+    variables: dict,
+    epoch: int = 0,
+    config: dict | None = None,
+) -> None:
+    """Orbax-format checkpoint (atomic directory writes, ecosystem-standard
+    pytree layout) — the production alternative to the single-file pickle
+    format. ``path`` becomes a checkpoint *directory*."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "model_state": _to_numpy(variables),
+        "epoch": int(epoch),
+        "config": config or {},
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckpt = ckptr.restore(os.path.abspath(path))
+    ckpt.setdefault("optimizer_state", None)
+    return ckpt
+
+
 def load_model_variables(path: str, model_name: str | None = None) -> dict:
-    """Load flax model variables from either a dfac_tpu checkpoint or a
-    reference PyTorch ``.pt`` file (auto-detected)."""
+    """Load flax model variables from a dfac_tpu pickle checkpoint, an
+    orbax checkpoint directory, or a reference PyTorch ``.pt`` file
+    (auto-detected)."""
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)["model_state"]
     with open(path, "rb") as f:
         head = f.read(4)
     if head[:2] == b"PK" or path.endswith(".pt"):  # torch zipfile / legacy

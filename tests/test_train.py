@@ -180,3 +180,24 @@ def test_resident_evaluator_matches_host_eval(rng):
     assert res_metrics["eer"] == pytest.approx(host_metrics["eer"], abs=1e-12)
     assert res_metrics["threshold"] == pytest.approx(host_metrics["threshold"], abs=1e-5)
     assert res_metrics["avg_loss"] == pytest.approx(host_metrics["avg_loss"], rel=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    from dfac_tpu.train.checkpoint import (
+        load_checkpoint_orbax,
+        load_model_variables,
+        save_checkpoint_orbax,
+    )
+
+    variables = {
+        "params": {"w": rng.normal(size=(4, 4)).astype(np.float32)},
+        "batch_stats": {"bn": {"mean": np.zeros(4, np.float32)}},
+    }
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, variables, epoch=5, config={"model": "cnn2d"})
+    ck = load_checkpoint_orbax(path)
+    assert ck["epoch"] == 5 and ck["config"]["model"] == "cnn2d"
+    np.testing.assert_array_equal(ck["model_state"]["params"]["w"], variables["params"]["w"])
+    # directory auto-detection in the unified loader
+    out = load_model_variables(path)
+    np.testing.assert_array_equal(out["params"]["w"], variables["params"]["w"])
