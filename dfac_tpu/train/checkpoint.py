@@ -82,24 +82,33 @@ def save_checkpoint_orbax(
     """Orbax-format checkpoint (atomic directory writes, ecosystem-standard
     pytree layout) — the production alternative to the single-file pickle
     format. ``path`` becomes a checkpoint *directory*."""
+    import json
+
     import orbax.checkpoint as ocp
 
-    payload = {
-        "model_state": _to_numpy(variables),
-        "epoch": int(epoch),
-        "config": config or {},
-    }
+    path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(path), payload, force=True)
+        # StandardCheckpointer handles array pytrees; scalar/string metadata
+        # rides in a JSON sidecar inside the checkpoint directory.
+        ckptr.save(path, _to_numpy(variables), force=True)
+    with open(os.path.join(path, "dfac_metadata.json"), "w") as f:
+        json.dump({"epoch": int(epoch), "config": config or {}}, f)
 
 
 def load_checkpoint_orbax(path: str) -> dict:
+    import json
+
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckpt = ckptr.restore(os.path.abspath(path))
-    ckpt.setdefault("optimizer_state", None)
-    return ckpt
+        model_state = ckptr.restore(path)
+    meta = {"epoch": 0, "config": {}}
+    meta_path = os.path.join(path, "dfac_metadata.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return {"model_state": model_state, "optimizer_state": None, **meta}
 
 
 def load_model_variables(path: str, model_name: str | None = None) -> dict:
