@@ -162,3 +162,25 @@ def test_predict_scores_with_mesh_matches_single(rng, eight_devices):
     np.testing.assert_allclose(got, ref, atol=1e-5)
     with pytest.raises(ValueError, match="divide"):
         predict_scores(model, variables, ds, batch_size=6, mesh=mesh)
+
+
+def test_sharded_e2e_scorer_matches_single(rng, eight_devices):
+    """Full wave->LFCC->CNN pipeline sharded over 8 devices == single-device."""
+    from dfac_tpu.features.lfcc import LFCCConfig, lfcc_features
+    from dfac_tpu.parallel.serving import make_sharded_e2e_scorer
+
+    cfg = LFCCConfig()
+    b = 8
+    waves = jnp.asarray(rng.normal(size=(b, cfg.num_samples(17))).astype(np.float32))
+    model = build_model("cnn2d", base_channels=4)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 17, 180)))
+
+    feats = lfcc_features(waves, cfg, use_pallas=False)
+    ref = jax.nn.sigmoid(
+        model.apply(variables, jnp.transpose(feats, (0, 2, 1))).reshape(-1)
+    )
+
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    scorer = make_sharded_e2e_scorer(model, mesh, cfg, frontend="fft")
+    got = scorer(variables, waves)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
