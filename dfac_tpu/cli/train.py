@@ -65,6 +65,9 @@ def parse_args(argv=None):
                    help="shard_map DP over N devices (0 = single device)")
     p.add_argument("--device-resident", action="store_true",
                    help="upload the training corpus to HBM once; gather batches on device")
+    p.add_argument("--fused-fit", action="store_true",
+                   help="run the ENTIRE training loop (epochs+eval+plateau+early-stop) "
+                        "as one compiled program (implies --device-resident; no live UI)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a checkpoint (model+optimizer+scheduler+epoch)")
     p.add_argument("--profile-dir", default=None,
@@ -138,7 +141,7 @@ def main(argv=None):
         augment=augment_config_from_args(args),
         compute_dtype="bfloat16" if args.bf16 else None,
         data_parallel=args.data_parallel,
-        device_resident=args.device_resident,
+        device_resident=args.device_resident or args.fused_fit,
     )
 
     visualizer = create_visualizer(
@@ -154,11 +157,28 @@ def main(argv=None):
     from dfac_tpu.obs.profiling import trace
 
     with trace(args.profile_dir):
-        result = trainer.fit(
-            train_ds, dev_ds, checkpoint_dir=checkpoint_root,
-            config_snapshot=build_config_dict(args),
-            resume_from=args.resume,
-        )
+        if args.fused_fit:
+            result = trainer.fit_fused(train_ds, dev_ds)
+            if checkpoint_root:
+                from dfac_tpu.train import checkpoint as ckpt_lib
+
+                os.makedirs(checkpoint_root, exist_ok=True)
+                ckpt_lib.save_checkpoint(
+                    os.path.join(checkpoint_root, f"{args.model}_best.ckpt"),
+                    trainer.best_variables(), epoch=len(result["history"]),
+                    config=build_config_dict(args),
+                )
+                ckpt_lib.save_checkpoint(
+                    os.path.join(checkpoint_root, f"{args.model}_last.ckpt"),
+                    trainer.variables(), epoch=len(result["history"]),
+                    config=build_config_dict(args),
+                )
+        else:
+            result = trainer.fit(
+                train_ds, dev_ds, checkpoint_dir=checkpoint_root,
+                config_snapshot=build_config_dict(args),
+                resume_from=args.resume,
+            )
     if result["best_eer"] is not None:
         print(f"best dev EER: {result['best_eer']:.6f}")
     return result

@@ -285,6 +285,23 @@ class Trainer:
             v["batch_stats"] = self.state.batch_stats
         return v
 
+    def best_variables(self) -> dict:
+        """Best-epoch parameters (populated by :func:`fit_fused`; falls back
+        to the current parameters)."""
+        params = getattr(self, "_best_params", None)
+        v = {"params": params if params is not None else self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        return v
+
+    def fit_fused(self, train_ds: ArrayDataset, dev_ds: ArrayDataset) -> dict:
+        """One-dispatch training: the whole run (epochs + eval + best rule +
+        plateau + early stop) as a single compiled program. See
+        :mod:`dfac_tpu.train.fused_fit`."""
+        from dfac_tpu.train.fused_fit import fit_fused
+
+        return fit_fused(self, train_ds, dev_ds)
+
     # -- loop -------------------------------------------------------------
     def _resident_dev_metrics(self, dev_ds: ArrayDataset) -> dict:
         """One-dispatch dev evaluation on a device-resident dev split."""

@@ -136,3 +136,21 @@ def test_train_cli_dp_smoke(corpus_dir, tmp_path):
         "--data-parallel", "4",
     ])
     assert result["best_eer"] is not None
+
+
+def test_train_cli_fused_fit(corpus_dir, tmp_path):
+    from dfac_tpu.cli import train as train_cli
+    from dfac_tpu.train.checkpoint import load_model_variables
+
+    ck = str(tmp_path / "fused_ck")
+    result = train_cli.main([
+        "--train-features", str(corpus_dir / "train/features.pkl"),
+        "--train-labels", str(corpus_dir / "train/labels.pkl"),
+        "--dev-features", str(corpus_dir / "dev/features.pkl"),
+        "--dev-labels", str(corpus_dir / "dev/labels.pkl"),
+        "--model", "cnn1d", "--epochs", "2", "--batch-size", "8",
+        "--checkpoint-dir", ck, "--quiet", "--fused-fit",
+    ])
+    assert result["best_eer"] is not None
+    variables = load_model_variables(os.path.join(ck, "cnn1d_best.ckpt"))
+    assert "params" in variables
