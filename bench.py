@@ -13,9 +13,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: repeated bench runs skip the 60-90s XLA compile
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 BASELINE_UTT_S = 10_000.0
 
