@@ -112,3 +112,20 @@ def batch_iterator(
 
 def num_batches(n: int, batch_size: int, drop_last: bool = False) -> int:
     return n // batch_size if drop_last else -(-n // batch_size)
+
+
+def create_datasets(
+    train_features: str,
+    train_labels: str,
+    dev_features: str,
+    dev_labels: str,
+    test_features: str | None = None,
+    test_labels: str | None = None,
+) -> tuple[ArrayDataset, ArrayDataset, ArrayDataset | None]:
+    """Train/dev/test trio loader (reference ``create_dataloaders``,
+    ``src/dataloaders.py:8-53`` — minus its labels-for-test bug: the test
+    split is loaded label-free when no labels path is given)."""
+    train = load_dataset(train_features, train_labels)
+    dev = load_dataset(dev_features, dev_labels)
+    test = load_dataset(test_features, test_labels) if test_features else None
+    return train, dev, test

@@ -202,3 +202,20 @@ def test_load_dataset_and_filter(synthetic_corpus):
     bona = ds.filter_label(1)
     assert len(bona) == int((synthetic_corpus["labels"] == 1).sum())
     assert all(ds.labels[ds.uttids.index(u)] == 1 for u in bona.uttids)
+
+
+def test_create_datasets_trio(synthetic_corpus):
+    from dfac_tpu.data.pipeline import create_datasets
+
+    train, dev, test = create_datasets(
+        synthetic_corpus["features_path"], synthetic_corpus["labels_path"],
+        synthetic_corpus["features_path"], synthetic_corpus["labels_path"],
+        synthetic_corpus["features_path"],  # label-free test split
+    )
+    assert train.labels is not None and dev.labels is not None
+    assert test is not None and test.labels is None
+    _, _, no_test = create_datasets(
+        synthetic_corpus["features_path"], synthetic_corpus["labels_path"],
+        synthetic_corpus["features_path"], synthetic_corpus["labels_path"],
+    )
+    assert no_test is None
