@@ -20,4 +20,23 @@ Layered design (bottom-up):
 
 __version__ = "0.1.0"
 
-from dfac_tpu.ops.eer import calculate_eer, confusion_at_threshold  # noqa: F401
+from dfac_tpu.ops.eer import calculate_eer, confusion_at_threshold, eer_device  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy re-exports of the primary library surface (keeps `import
+    # dfac_tpu` light; jax/flax load on first use)
+    lazy = {
+        "build_model": ("dfac_tpu.models", "build_model"),
+        "load_dataset": ("dfac_tpu.data.pipeline", "load_dataset"),
+        "create_datasets": ("dfac_tpu.data.pipeline", "create_datasets"),
+        "Trainer": ("dfac_tpu.train.loop", "Trainer"),
+        "TrainConfig": ("dfac_tpu.train.loop", "TrainConfig"),
+        "LFCCConfig": ("dfac_tpu.features.lfcc", "LFCCConfig"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'dfac_tpu' has no attribute '{name}'")
