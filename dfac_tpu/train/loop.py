@@ -309,7 +309,7 @@ class Trainer:
 
         cfg = self.cfg
         bs = cfg.eval_batch_size or cfg.batch_size
-        if getattr(self, "_dev_resident_key", None) is not id(dev_ds):
+        if getattr(self, "_dev_resident_key", None) != id(dev_ds):
             from dfac_tpu.data.pipeline import pad_to_batch
 
             self._dev_feats = jax.device_put(jnp.asarray(dev_ds.features))
@@ -345,7 +345,7 @@ class Trainer:
         }
 
     def _resident_arrays(self, ds: ArrayDataset):
-        if getattr(self, "_resident_key", None) is not id(ds):
+        if getattr(self, "_resident_key", None) != id(ds):
             self._resident_feats = jax.device_put(jnp.asarray(ds.features))
             self._resident_labels = jax.device_put(
                 jnp.asarray((ds.labels if ds.labels is not None else np.zeros(len(ds))).astype(np.float32))
