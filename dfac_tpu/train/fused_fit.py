@@ -187,8 +187,11 @@ def fit_fused(trainer, train_ds, dev_ds) -> dict:
     didx = jnp.asarray(idx.reshape(n_b, bs))
     dw = jnp.asarray(w.reshape(n_b, bs))
 
-    fused = make_fused_fit(trainer.model, trainer.tx, cfg, len(train_ds), n_dev)
-    final_state, best_params, history = fused(
+    fused_key = (len(train_ds), n_dev)
+    if getattr(trainer, "_fused_fn_key", None) != fused_key:
+        trainer._fused_fn = make_fused_fit(trainer.model, trainer.tx, cfg, len(train_ds), n_dev)
+        trainer._fused_fn_key = fused_key
+    final_state, best_params, history = trainer._fused_fn(
         trainer.state, feats_all, labels_all, df, dl, didx, dw
     )
     trainer.state = final_state
