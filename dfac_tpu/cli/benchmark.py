@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--output-dir", default=None,
                    help="default: results/benchmark_<timestamp>")
     p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--device-resident", action="store_true",
+                   help="device-resident corpora (one upload per run, on-device batching)")
     p.add_argument("--device", default=None)
     add_augment_args(p)
     add_swap_tf_args(p)
@@ -65,6 +67,7 @@ def main(argv=None):
         dropout=args.dropout,
         swap_tf=args.swap_tf,
         augment=augment_config_from_args(args),
+        device_resident=args.device_resident,
     )
     result = run_benchmark(
         train_ds, dev_ds,
