@@ -97,8 +97,10 @@ class _CNN1DBase(nn.Module):
                     h = ChannelDropout(self.dropout)(h, deterministic=not train)
                 else:
                     h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = adaptive_avg_pool_1d(h, self.pool_bins)
-        h = h.reshape(h.shape[0], -1)
+        h = adaptive_avg_pool_1d(h, self.pool_bins)  # (B, bins, C)
+        # channel-major flatten (torch flattens (B, C, bins)) so imported
+        # classifier weights line up for pool_bins > 1
+        h = jnp.swapaxes(h, 1, 2).reshape(h.shape[0], -1)
         return Dense(1, name="classifier")(h)
 
 

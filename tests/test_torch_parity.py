@@ -364,3 +364,23 @@ class TorchCNN1DSpatial(tnn.Module):
 def test_cnn1d_zoo_parity(rng, name, spatial):
     x = rng.normal(size=(B, T, F)).astype(np.float32)
     _compare(name, TorchCNN1DSpatial(spatial=spatial), x, model_kw={"in_channels": F})
+
+
+def test_adaptive_avg_pool_matches_torch(rng):
+    from dfac_tpu.models.zoo import adaptive_avg_pool_1d
+
+    x = rng.normal(size=(2, 17, 6)).astype(np.float32)
+    for bins in (1, 2, 3, 5, 17):
+        ref = tnn.AdaptiveAvgPool1d(bins)(torch.from_numpy(np.transpose(x, (0, 2, 1))))
+        got = adaptive_avg_pool_1d(jnp.asarray(x), bins)  # (B, bins, C)
+        np.testing.assert_allclose(
+            np.asarray(got), np.transpose(ref.numpy(), (0, 2, 1)), atol=1e-6,
+        )
+
+
+def test_cnn1d_spatial_pool_bins_parity(rng):
+    x = rng.normal(size=(B, T, F)).astype(np.float32)
+    tm = TorchCNN1DSpatial(spatial=False)
+    tm.pool = tnn.AdaptiveAvgPool1d(3)
+    tm.classifier = tnn.Linear(256 * 3, 1)
+    _compare("cnn1d_archive", tm, x, model_kw={"in_channels": F, "pool_bins": 3})
