@@ -224,22 +224,30 @@ class DetectorTrainer:
         return {"best_eer": best_eer, "history": history}
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model", "apply_sigmoid"))
+def _detector_score_step(model, variables, feats, lens, apply_sigmoid):
+    x = jnp.transpose(feats, (0, 2, 1))
+    logits = model.apply(variables, x, lengths=lens)
+    return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+
 def detector_scores(
     model, variables, ds: ArrayDataset, lengths: np.ndarray,
     batch_size: int = 128, apply_sigmoid: bool = False,
 ) -> np.ndarray:
-    @jax.jit
-    def step(variables, feats, lens):
-        x = jnp.transpose(feats, (0, 2, 1))
-        logits = model.apply(variables, x, lengths=lens)
-        return jax.nn.sigmoid(logits) if apply_sigmoid else logits
-
     out = []
     n = len(ds)
     for start in range(0, n, batch_size):
         idx = np.arange(start, min(start + batch_size, n))
         feats = pad_to_batch(ds.features[idx], batch_size)
         lens = pad_to_batch(lengths[idx], batch_size, pad_value=1)
-        scores = step(variables, jnp.asarray(feats), jnp.asarray(lens))
-        out.append(np.asarray(scores)[: len(idx)])
-    return np.concatenate(out) if out else np.zeros((0,), np.float32)
+        scores = _detector_score_step(
+            model, variables, jnp.asarray(feats), jnp.asarray(lens), apply_sigmoid
+        )
+        out.append(scores)
+    if not out:
+        return np.zeros((0,), np.float32)
+    return np.asarray(jnp.concatenate(out))[:n]
