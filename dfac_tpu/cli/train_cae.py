@@ -28,6 +28,8 @@ def parse_args(argv=None):
                    help="load an existing normalizer (.npz or torch .pt) instead of fitting")
     p.add_argument("--device", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device-resident", action="store_true",
+                   help="bonafide corpus in HBM; each epoch is one compiled program")
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
@@ -59,6 +61,7 @@ def main(argv=None):
         early_stop=args.early_stop,
         base_channels=args.base_channels,
         seed=args.seed,
+        device_resident=args.device_resident,
     )
     visualizer = create_visualizer("noop" if args.quiet else ("tqdm" if args.no_rich else "rich"))
     trainer = CAETrainer(cfg, visualizer=visualizer)

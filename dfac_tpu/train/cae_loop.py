@@ -56,6 +56,7 @@ class CAEConfig:
     seed: int = 0
     swap_tf: bool = True
     eval_batch_size: int | None = None
+    device_resident: bool = False  # corpus in HBM; epoch = one scan program
 
 
 def make_cae_train_step(model, tx, mean, std):
@@ -91,6 +92,42 @@ def make_cae_train_step(model, tx, mean, std):
         )
 
     return train_step
+
+
+def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int):
+    """One jit program per CAE epoch over a device-resident bonafide corpus
+    (device-side shuffle, no per-epoch host transfers; mirrors
+    :func:`dfac_tpu.train.loop.make_epoch_scan`)."""
+    step = make_cae_train_step(model, tx, mean, std)
+    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+    n_batches = -(-n_examples // batch_size)
+    padded = n_batches * batch_size
+
+    @jax.jit
+    def epoch_scan(state: TrainState, feats_all, epoch_seed):
+        perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples)
+        idx_flat = jnp.concatenate(
+            [perm.astype(jnp.int32), jnp.full((padded - n_examples,), 0, jnp.int32)]
+        )
+        w_flat = jnp.concatenate(
+            [jnp.ones((n_examples,), jnp.float32), jnp.zeros((padded - n_examples,), jnp.float32)]
+        )
+        idx_mat = idx_flat.reshape(n_batches, batch_size)
+        w_mat = w_flat.reshape(n_batches, batch_size)
+
+        def body(carry, xs):
+            st, loss_acc, count_acc = carry
+            idx, weights = xs
+            feats = jnp.take(feats_all, idx, axis=0)
+            st, loss_sum, count = base(st, feats, weights)
+            return (st, loss_acc + loss_sum, count_acc + count), None
+
+        (state_out, loss, count), _ = jax.lax.scan(
+            body, (state, jnp.zeros(()), jnp.zeros(())), (idx_mat, w_mat)
+        )
+        return state_out, loss, count
+
+    return epoch_scan
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -229,6 +266,15 @@ class CAETrainer:
         prev: EpochMetrics | None = None
         from dfac_tpu.data.pipeline import num_batches
 
+        epoch_scan = None
+        feats_resident = None
+        if cfg.device_resident:
+            feats_resident = jax.device_put(jnp.asarray(bona_train.features))
+            epoch_scan = make_cae_epoch_scan(
+                self.model, self.tx, mean, std,
+                n_examples=len(bona_train), batch_size=cfg.batch_size,
+            )
+
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.perf_counter()
             total = jnp.zeros(())
@@ -237,17 +283,23 @@ class CAETrainer:
                 epoch, num_batches(len(bona_train), cfg.batch_size)
             ) as batch_ctx:
                 live_ui = batch_ctx is not None and getattr(batch_ctx, "wants_updates", True)
-                for i, batch in enumerate(
-                    batch_iterator(bona_train, cfg.batch_size, shuffle=True,
-                                   seed=cfg.seed * 100003 + epoch)
-                ):
-                    self.state, loss_sum, n = train_step(
-                        self.state, jnp.asarray(batch.features), jnp.asarray(batch.weights)
+                if epoch_scan is not None and not live_ui:
+                    # one dispatch per epoch; device-side shuffle
+                    self.state, total, count = epoch_scan(
+                        self.state, feats_resident, np.int64(cfg.seed * 100003 + epoch)
                     )
-                    total = total + loss_sum  # lazy device accumulation
-                    count = count + n
-                    if live_ui and float(count):
-                        batch_ctx.update_batch(BatchMetrics(i, float(total) / float(count), int(n)))
+                else:
+                    for i, batch in enumerate(
+                        batch_iterator(bona_train, cfg.batch_size, shuffle=True,
+                                       seed=cfg.seed * 100003 + epoch)
+                    ):
+                        self.state, loss_sum, n = train_step(
+                            self.state, jnp.asarray(batch.features), jnp.asarray(batch.weights)
+                        )
+                        total = total + loss_sum  # lazy device accumulation
+                        count = count + n
+                        if live_ui and float(count):
+                            batch_ctx.update_batch(BatchMetrics(i, float(total) / float(count), int(n)))
             count_f = float(count)
             train_loss = float(total) / count_f if count_f else None
 

@@ -82,3 +82,22 @@ def test_cae_checkpoint_reload_same_scores(trained_cae):
     s1 = cae_mse_scores(trainer.model, variables, dev_ds, norm, 8)
     s2 = cae_mse_scores(trainer.model, trainer.variables(), dev_ds, trainer.normalizer, 8)
     np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+def test_cae_device_resident_training():
+    """Resident epoch-scan CAE training converges like the host-fed path."""
+    rng = np.random.default_rng(7)
+    train_ds = _cae_corpus(rng, 24)
+    dev_ds = _cae_corpus(np.random.default_rng(8), 16)
+    results = {}
+    for resident in (False, True):
+        cfg = CAEConfig(batch_size=8, epochs=2, base_channels=4, early_stop=0,
+                        device_resident=resident, seed=1)
+        trainer = CAETrainer(cfg)
+        results[resident] = trainer.fit(train_ds, dev_ds)
+    for resident, res in results.items():
+        assert np.isfinite(res["best_val_mse"]), resident
+        assert len(res["history"]) == 2
+    # same order of magnitude (different shuffles, same data/seeds)
+    a, b = results[False]["best_val_mse"], results[True]["best_val_mse"]
+    assert abs(a - b) / max(a, b) < 0.5
