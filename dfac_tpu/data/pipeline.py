@@ -6,11 +6,14 @@ subprocesses, a corpus is one dense ``[N, F, T]`` numpy array; batching is
 index arithmetic; the time/feature axis swap, normalization, padding, and
 augmentation all happen on device inside the jit'd step.
 
-TPU contract: every batch has the same static shape. The final partial
-batch is padded up to ``batch_size`` and carries a weight vector (1 for
-real rows, 0 for padding) so that loss averages and score collection are
-bit-equivalent to the reference's partial-batch semantics
-(``src/train.py:78-80`` loss * B accumulation).
+TPU contract: batch shapes are static. Training paths request
+``pad_tail=False`` and receive the final partial batch at its TRUE size —
+one extra compiled shape per corpus, but bit-exact reference semantics
+(the reference trains on the smaller final batch: its BatchNorm statistics
+and loss are computed over real rows only, ``src/train.py:31-91``).
+Evaluation paths keep the padded tail (single compiled shape): BatchNorm
+runs on running averages there, so pad rows only produce scores that the
+weight mask discards — loss sums and EER are still exact.
 """
 
 from __future__ import annotations
@@ -87,8 +90,12 @@ def batch_iterator(
     shuffle: bool = False,
     seed: int | None = None,
     drop_last: bool = False,
+    pad_tail: bool = True,
 ) -> Iterator[Batch]:
-    """Static-shape batches; the tail batch is zero-padded with weight 0."""
+    """Fixed-size batches. With ``pad_tail`` (eval paths) the final partial
+    batch is zero-padded with weight 0 — one compiled shape. With
+    ``pad_tail=False`` (training paths) it comes out at its true size — a
+    second compiled shape, but no phantom rows in BatchNorm statistics."""
     n = len(ds)
     order = np.arange(n)
     if shuffle:
@@ -102,6 +109,9 @@ def batch_iterator(
         feats = ds.features[idx]
         labs = labels[idx].astype(np.float32)
         w = np.ones(len(idx), np.float32)
+        if not pad_tail:
+            yield Batch(features=feats, labels=labs, weights=w, index=idx.astype(np.int32))
+            continue
         yield Batch(
             features=pad_to_batch(feats, batch_size),
             labels=pad_to_batch(labs, batch_size),

@@ -100,31 +100,31 @@ def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int):
     :func:`dfac_tpu.train.loop.make_epoch_scan`)."""
     step = make_cae_train_step(model, tx, mean, std)
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
-    n_batches = -(-n_examples // batch_size)
-    padded = n_batches * batch_size
+    n_full = n_examples // batch_size
+    tail = n_examples % batch_size
 
     @jax.jit
     def epoch_scan(state: TrainState, feats_all, epoch_seed):
-        perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples)
-        idx_flat = jnp.concatenate(
-            [perm.astype(jnp.int32), jnp.full((padded - n_examples,), 0, jnp.int32)]
-        )
-        w_flat = jnp.concatenate(
-            [jnp.ones((n_examples,), jnp.float32), jnp.zeros((padded - n_examples,), jnp.float32)]
-        )
-        idx_mat = idx_flat.reshape(n_batches, batch_size)
-        w_mat = w_flat.reshape(n_batches, batch_size)
+        perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples).astype(jnp.int32)
+        idx_mat = perm[: n_full * batch_size].reshape(n_full, batch_size)
+        ones = jnp.ones((batch_size,), jnp.float32)
 
-        def body(carry, xs):
+        def body(carry, idx):
             st, loss_acc, count_acc = carry
-            idx, weights = xs
             feats = jnp.take(feats_all, idx, axis=0)
-            st, loss_sum, count = base(st, feats, weights)
+            st, loss_sum, count = base(st, feats, ones)
             return (st, loss_acc + loss_sum, count_acc + count), None
 
         (state_out, loss, count), _ = jax.lax.scan(
-            body, (state, jnp.zeros(()), jnp.zeros(())), (idx_mat, w_mat)
+            body, (state, jnp.zeros(()), jnp.zeros(())), idx_mat
         )
+        if tail:
+            # true-size tail step in the same program: no pad rows in BN stats
+            feats = jnp.take(feats_all, perm[n_full * batch_size :], axis=0)
+            state_out, tail_loss, tail_count = base(
+                state_out, feats, jnp.ones((tail,), jnp.float32)
+            )
+            loss, count = loss + tail_loss, count + tail_count
         return state_out, loss, count
 
     return epoch_scan
@@ -291,7 +291,7 @@ class CAETrainer:
                 else:
                     for i, batch in enumerate(
                         batch_iterator(bona_train, cfg.batch_size, shuffle=True,
-                                       seed=cfg.seed * 100003 + epoch)
+                                       seed=cfg.seed * 100003 + epoch, pad_tail=False)
                     ):
                         self.state, loss_sum, n = train_step(
                             self.state, jnp.asarray(batch.features), jnp.asarray(batch.weights)

@@ -190,12 +190,16 @@ class DetectorTrainer:
             order = rng.choice(n, size=n, replace=True, p=sample_p)
             total_loss, n_batches = jnp.zeros(()), 0
             for start in range(0, n, cfg.batch_size):
+                # true-size tail batch (one extra compiled shape): fabricated
+                # pad rows would otherwise contribute gradients, the loss
+                # mean, and BatchNorm statistics — the reference's DataLoader
+                # batches contain only real rows (src/dlqueen_model.py)
                 idx = order[start : start + cfg.batch_size]
-                feats = pad_to_batch(train_ds.features[idx], cfg.batch_size)
-                lens = pad_to_batch(lengths[idx], cfg.batch_size, pad_value=1)
-                labs = pad_to_batch(labels[idx].astype(np.float32), cfg.batch_size)
                 self.state, loss = train_step(
-                    self.state, jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(labs)
+                    self.state,
+                    jnp.asarray(train_ds.features[idx]),
+                    jnp.asarray(lengths[idx]),
+                    jnp.asarray(labels[idx].astype(np.float32)),
                 )
                 total_loss = total_loss + loss  # lazy device accumulation
                 n_batches += 1

@@ -14,8 +14,10 @@ Exact reference semantics preserved:
   improve by > 1e-6;
 * early stop counts epochs without *EER* improvement only (``:556-561``);
 * ReduceLROnPlateau monitors dev_eer or dev_loss (``:520-525``);
-* loss averaging weights each batch by its true sample count (``:78-80``),
-  reproduced under static-shape padding via per-row weights.
+* loss averaging weights each batch by its true sample count (``:78-80``);
+* the final partial batch trains at its TRUE size (one extra compiled
+  shape) so its BatchNorm statistics cover real rows only, exactly like
+  the reference's smaller final DataLoader batch.
 """
 
 from __future__ import annotations
@@ -130,34 +132,39 @@ def make_epoch_scan(
     scalar seed as the only input — no per-step launch overhead and no
     per-epoch host->device transfer at all (decisive on remote accelerators
     where every transfer/dispatch round-trips a relay). The shuffle is a
-    device-side ``jax.random.permutation`` keyed by the epoch seed."""
+    device-side ``jax.random.permutation`` keyed by the epoch seed.
+
+    The final partial batch (``n_examples % batch_size`` rows) runs as a
+    separate traced step at its TRUE size inside the same program — still
+    one dispatch, and no padded rows ever enter BatchNorm statistics
+    (bit-exact reference smaller-final-batch semantics,
+    ``src/train.py:31-91``)."""
     step = make_indexed_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
     # reuse the jitted step's traced body inside scan via its wrapped fn
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
-    n_batches = -(-n_examples // batch_size)
-    padded = n_batches * batch_size
+    n_full = n_examples // batch_size
+    tail = n_examples % batch_size
 
     @jax.jit
     def epoch_scan(state: TrainState, feats_all, labels_all, epoch_seed):
-        perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples)
-        idx_flat = jnp.concatenate(
-            [perm.astype(jnp.int32), jnp.full((padded - n_examples,), -1, jnp.int32)]
-        )
-        w_flat = jnp.concatenate(
-            [jnp.ones((n_examples,), jnp.float32), jnp.zeros((padded - n_examples,), jnp.float32)]
-        )
-        idx_mat = idx_flat.reshape(n_batches, batch_size)
-        weights_mat = w_flat.reshape(n_batches, batch_size)
+        perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples).astype(jnp.int32)
+        idx_mat = perm[: n_full * batch_size].reshape(n_full, batch_size)
+        ones = jnp.ones((batch_size,), jnp.float32)
 
-        def body(carry, xs):
+        def body(carry, idx):
             st, loss_acc, count_acc = carry
-            idx, weights = xs
-            st, loss_sum, count = base(st, feats_all, labels_all, idx, weights)
+            st, loss_sum, count = base(st, feats_all, labels_all, idx, ones)
             return (st, loss_acc + loss_sum, count_acc + count), None
 
         (state_out, loss, count), _ = jax.lax.scan(
-            body, (state, jnp.zeros(()), jnp.zeros(())), (idx_mat, weights_mat)
+            body, (state, jnp.zeros(()), jnp.zeros(())), idx_mat
         )
+        if tail:
+            state_out, tail_loss, tail_count = base(
+                state_out, feats_all, labels_all,
+                perm[n_full * batch_size :], jnp.ones((tail,), jnp.float32),
+            )
+            loss, count = loss + tail_loss, count + tail_count
         return state_out, loss, count
 
     return epoch_scan
@@ -310,8 +317,6 @@ class Trainer:
         cfg = self.cfg
         bs = cfg.eval_batch_size or cfg.batch_size
         if getattr(self, "_dev_resident_key", None) != id(dev_ds):
-            from dfac_tpu.data.pipeline import pad_to_batch
-
             self._dev_feats = jax.device_put(jnp.asarray(dev_ds.features))
             self._dev_labels = jax.device_put(jnp.asarray(dev_ds.labels.astype(np.float32)))
             n = len(dev_ds)
@@ -386,7 +391,6 @@ class Trainer:
             feats_all, labels_all = self._resident_arrays(ds)
             order = np.arange(len(ds))
             np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
-            from dfac_tpu.data.pipeline import pad_to_batch
 
             if not live_ui:
                 # whole epoch as one lax.scan program: a single dispatch
@@ -402,18 +406,22 @@ class Trainer:
                     np.int64(cfg.seed * 100003 + epoch),
                 )
             else:
+                # true-size tail batch (one extra compiled shape) — padded
+                # rows must not enter BatchNorm statistics
                 for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
                     idx = order[start : start + cfg.batch_size]
-                    weights = np.ones(len(idx), np.float32)
                     self.state, loss_sum, count = self._indexed_step(
                         self.state, feats_all, labels_all,
-                        jnp.asarray(pad_to_batch(idx.astype(np.int32), cfg.batch_size, pad_value=-1)),
-                        jnp.asarray(pad_to_batch(weights, cfg.batch_size)),
+                        jnp.asarray(idx.astype(np.int32)),
+                        jnp.ones(len(idx), jnp.float32),
                     )
                     after_step(i, loss_sum, count)
         else:
             for i, batch in enumerate(
-                batch_iterator(ds, cfg.batch_size, shuffle=True, seed=cfg.seed * 100003 + epoch)
+                batch_iterator(
+                    ds, cfg.batch_size, shuffle=True,
+                    seed=cfg.seed * 100003 + epoch, pad_tail=False,
+                )
             ):
                 self.state, loss_sum, count = self._train_step(
                     self.state,
