@@ -158,20 +158,36 @@ def main(argv=None):
 
     with trace(args.profile_dir):
         if args.fused_fit:
-            result = trainer.fit_fused(train_ds, dev_ds)
+            result = trainer.fit_fused(train_ds, dev_ds, resume_from=args.resume)
             if checkpoint_root:
                 from dfac_tpu.train import checkpoint as ckpt_lib
 
                 os.makedirs(checkpoint_root, exist_ok=True)
-                ckpt_lib.save_checkpoint(
-                    os.path.join(checkpoint_root, f"{args.model}_best.ckpt"),
-                    trainer.best_variables(), epoch=len(result["history"]),
-                    config=build_config_dict(args),
-                )
+                config = build_config_dict(args)
+                config["_trainer_state"] = {
+                    "best_eer": result["best_eer"],
+                    "best_train_loss": result["best_train_loss"],
+                    "best_dev_loss": result["best_dev_loss"],
+                    "epochs_no_improve": result["epochs_no_improve"],
+                    "lr": trainer._lr,
+                }
+                sched_state = trainer.scheduler.state_dict() if trainer.scheduler else None
+                new_best = any(m.is_best for m in result["history"])
+                if new_best:  # never clobber a resumed run's better best ckpt
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(checkpoint_root, f"{args.model}_best.ckpt"),
+                        trainer.best_variables(),
+                        opt_state=trainer.state.opt_state,
+                        epoch=result["best_epoch"],
+                        config=config, scheduler_state=sched_state,
+                    )
+                last_epoch = result["history"][-1].epoch if result["history"] else 0
                 ckpt_lib.save_checkpoint(
                     os.path.join(checkpoint_root, f"{args.model}_last.ckpt"),
-                    trainer.variables(), epoch=len(result["history"]),
-                    config=build_config_dict(args),
+                    trainer.variables(),
+                    opt_state=trainer.state.opt_state,
+                    epoch=last_epoch,
+                    config=config, scheduler_state=sched_state,
                 )
         else:
             result = trainer.fit(

@@ -5,7 +5,7 @@ device-side shuffle, dev evaluation, the best-checkpoint rule (EER with the
 reference's loss tie-break, ``src/train.py:484-518``), ReduceLROnPlateau,
 and early stopping all execute inside ONE ``lax.scan`` over epochs — a
 single dispatch trains the model end-to-end, and the host fetches the
-history arrays plus the best/final parameters once at the end. On remote
+history arrays plus the best/final variables once at the end. On remote
 accelerators this removes every per-epoch host round trip; on directly
 attached hosts it removes all launch overheads.
 
@@ -15,8 +15,11 @@ Exactness notes:
   host trainer's float64 arithmetic exactly;
 * early stop cannot break a scan, so stopped epochs become no-ops via
   ``lax.cond`` (semantics identical, trailing compute skipped);
-* best parameters are carried as a pytree snapshot updated with
-  ``jnp.where`` on is_best.
+* the best snapshot carries BOTH params and BatchNorm running stats from
+  the best epoch (a params-only snapshot would pair best-epoch weights
+  with final-epoch BN stats — not the model that achieved the best EER),
+  plus the best epoch number and best train/dev losses, so fused runs
+  checkpoint and resume exactly like per-epoch runs.
 """
 
 from __future__ import annotations
@@ -30,13 +33,22 @@ from dfac_tpu.train.evaluate import make_resident_evaluator
 from dfac_tpu.train.loop import TrainState, make_epoch_scan
 
 
-def make_fused_fit(model, tx, cfg, n_train: int, n_dev: int):
+def make_fused_fit(
+    model, tx, cfg, n_train: int, n_dev: int,
+    start_epoch: int = 1, init_best: dict | None = None,
+):
     """Build the one-dispatch trainer for a (train, dev) corpus pair.
 
     Returns ``fused(state, train_feats, train_labels, dev_feats, dev_labels,
-    dev_idx, dev_w) -> (final_state, best_params, history)`` where history
-    holds per-epoch device arrays (train_loss, dev_loss, eer numerators,
-    lr, is_best, stopped).
+    dev_idx, dev_w) -> (final_state, best_vars, aux, history)`` where
+    ``best_vars`` is the {params, batch_stats} snapshot of the best epoch,
+    ``aux`` carries the final best/scheduler scalars, and ``history`` holds
+    per-epoch device arrays (train_loss, dev_loss, eer numerators, lr,
+    is_best, stopped).
+
+    ``start_epoch``/``init_best`` seed the carry for resume-into-fused:
+    ``init_best`` keys (all optional): best_num (EER crossing numerator,
+    -1 = unset), best_tl, best_dl, no_improve, sched_best, sched_bad, lr.
     """
     epoch_scan = make_epoch_scan(
         model, tx, cfg.swap_tf, cfg.label_smoothing, _augment(cfg),
@@ -49,6 +61,7 @@ def make_fused_fit(model, tx, cfg, n_train: int, n_dev: int):
     eer_tie_eps = 1e-4
     loss_eps = 1e-6
     base_seed = cfg.seed * 100003
+    ib = init_best or {}
 
     def set_lr(opt_state, lr):
         hp = dict(opt_state.hyperparams)
@@ -58,21 +71,21 @@ def make_fused_fit(model, tx, cfg, n_train: int, n_dev: int):
     @jax.jit
     def fused(state: TrainState, tf, tl, df, dl, didx, dw):
         def variables_of(st):
-            v = {"params": st.params}
-            if st.batch_stats:
-                v["batch_stats"] = st.batch_stats
-            return v
+            return {"params": st.params, "batch_stats": st.batch_stats}
 
         def run_epoch(carry, epoch):
-            (state, best_params, best_num, best_tl, best_dl, no_improve,
-             sched_best, sched_bad, lr, stopped) = carry
+            (state, best_vars, best_num, best_tl, best_dl, best_epoch,
+             no_improve, sched_best, sched_bad, lr, stopped) = carry
 
             state = state.replace(opt_state=set_lr(state.opt_state, lr))
             state, loss_sum, count = epoch_scan(state, tf, tl, base_seed + epoch)
             train_loss = loss_sum / jnp.maximum(count, 1.0)
 
+            ev_vars = {"params": state.params}
+            if state.batch_stats:
+                ev_vars["batch_stats"] = state.batch_stats
             dev_loss_sum, _scores, (fa, fr, ns, nb, thr) = evaluator(
-                variables_of(state), df, dl, didx, dw
+                ev_vars, df, dl, didx, dw
             )
             dev_loss = dev_loss_sum / n_dev
             # integer EER numerator: eer = num / (2*ns*nb); denominators are
@@ -94,9 +107,10 @@ def make_fused_fit(model, tx, cfg, n_train: int, n_dev: int):
             new_best_num = jnp.where(strictly_better, num, best_num)
             new_best_tl = jnp.where(is_best, train_loss, best_tl)
             new_best_dl = jnp.where(is_best, dev_loss, best_dl)
+            best_epoch = jnp.where(is_best, epoch, best_epoch)
             no_improve = jnp.where(strictly_better, 0, no_improve + 1)
-            best_params = jax.tree.map(
-                lambda b, p: jnp.where(is_best, p, b), best_params, state.params
+            best_vars = jax.tree.map(
+                lambda b, c: jnp.where(is_best, c, b), best_vars, variables_of(state)
             )
 
             # ReduceLROnPlateau (mode=min, rel threshold), monitoring dev_eer
@@ -121,15 +135,15 @@ def make_fused_fit(model, tx, cfg, n_train: int, n_dev: int):
                 stopped,
                 (no_improve >= cfg.early_stop) if cfg.early_stop else False,
             )
-            carry = (state, best_params, new_best_num, new_best_tl, new_best_dl,
-                     no_improve, sched_best, sched_bad, lr, stopped)
+            carry = (state, best_vars, new_best_num, new_best_tl, new_best_dl,
+                     best_epoch, no_improve, sched_best, sched_bad, lr, stopped)
             metrics = (train_loss, dev_loss, fa, fr, thr, lr, is_best, stopped)
             return carry, metrics
 
         def skip_epoch(carry, epoch):
             del epoch
             nan = jnp.float32(jnp.nan)
-            return carry, (nan, nan, jnp.int32(0), jnp.int32(0), nan, carry[8],
+            return carry, (nan, nan, jnp.int32(0), jnp.int32(0), nan, carry[9],
                            jnp.asarray(False), jnp.asarray(True))
 
         def body(carry, epoch):
@@ -138,19 +152,29 @@ def make_fused_fit(model, tx, cfg, n_train: int, n_dev: int):
 
         init = (
             state,
-            jax.tree.map(jnp.copy, state.params),  # best_params
-            jnp.float32(-1.0),  # best eer numerator (-1 = unset)
-            jnp.float32(jnp.inf),  # best train loss
-            jnp.float32(jnp.inf),  # best dev loss
-            jnp.int32(0),  # epochs_no_improve
-            jnp.float32(jnp.inf),  # plateau best metric
-            jnp.int32(0),  # plateau bad epochs
-            jnp.float32(cfg.lr),  # lr
+            jax.tree.map(jnp.copy, {"params": state.params, "batch_stats": state.batch_stats}),
+            jnp.float32(ib.get("best_num", -1.0)),
+            jnp.float32(ib.get("best_tl", jnp.inf)),
+            jnp.float32(ib.get("best_dl", jnp.inf)),
+            jnp.int32(start_epoch - 1),  # best_epoch (start_epoch-1 = the resumed ckpt)
+            jnp.int32(ib.get("no_improve", 0)),
+            jnp.float32(ib.get("sched_best", jnp.inf)),
+            jnp.int32(ib.get("sched_bad", 0)),
+            jnp.float32(ib.get("lr", cfg.lr)),
             jnp.asarray(False),  # stopped
         )
-        carry, history = jax.lax.scan(body, init, jnp.arange(1, cfg.epochs + 1))
-        final_state, best_params = carry[0], carry[1]
-        return final_state, best_params, history
+        carry, history = jax.lax.scan(
+            body, init, jnp.arange(start_epoch, cfg.epochs + 1)
+        )
+        (final_state, best_vars, best_num, best_tl, best_dl, best_epoch,
+         no_improve, sched_best, sched_bad, lr, _stopped) = carry
+        aux = {
+            "best_num": best_num, "best_train_loss": best_tl,
+            "best_dev_loss": best_dl, "best_epoch": best_epoch,
+            "no_improve": no_improve, "sched_best": sched_best,
+            "sched_bad": sched_bad, "lr": lr,
+        }
+        return final_state, best_vars, aux, history
 
     return fused
 
@@ -161,22 +185,49 @@ def _augment(cfg):
     return build_augment_fn(cfg.augment)
 
 
-def fit_fused(trainer, train_ds, dev_ds) -> dict:
+def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict:
     """One-dispatch fit through a :class:`dfac_tpu.train.loop.Trainer`.
 
     Uploads both splits once, runs the fused program, converts the fetched
     history into the standard EpochMetrics list, and leaves the trainer's
-    state at the final epoch (``trainer.best_variables()`` holds the
-    best-epoch parameters).
+    state at the final epoch. ``trainer.best_variables()`` afterwards holds
+    the best-epoch {params, batch_stats} snapshot; the returned dict carries
+    the true best epoch and best train/dev losses, and the trainer's plateau
+    scheduler + lr reflect the end of the run — a fused run checkpoints and
+    resumes exactly like a per-epoch run.
+
+    ``resume_from`` restores model/optimizer/scheduler/best-counters from a
+    checkpoint and continues the fused scan at the next epoch.
     """
     cfg = trainer.cfg
+    start_epoch = 1
+    init_best: dict = {}
+    nb = int(np.sum(dev_ds.labels))
+    n_dev = len(dev_ds)
+    ns = n_dev - nb
+    if resume_from:
+        restored = trainer.restore(resume_from)
+        start_epoch = restored["epoch"] + 1
+        ts = restored["trainer_state"]
+        if ts.get("best_eer") is not None:
+            init_best["best_num"] = float(ts["best_eer"]) * 2.0 * ns * nb
+        if ts.get("best_train_loss") is not None:
+            init_best["best_tl"] = ts["best_train_loss"]
+        if ts.get("best_dev_loss") is not None:
+            init_best["best_dl"] = ts["best_dev_loss"]
+        init_best["no_improve"] = ts.get("epochs_no_improve", 0)
+        init_best["lr"] = ts.get("lr", cfg.lr)
+        if trainer.scheduler is not None:
+            sd = trainer.scheduler.state_dict()
+            if sd.get("best") is not None:
+                init_best["sched_best"] = sd["best"]
+            init_best["sched_bad"] = sd.get("num_bad_epochs", 0)
     if trainer.state is None:
         trainer.init_state(train_ds.features[: max(cfg.batch_size, 1)])
     feats_all, labels_all = trainer._resident_arrays(train_ds)
 
     # dev split resident layout (shared with the per-epoch resident path)
     bs = cfg.eval_batch_size or cfg.batch_size
-    n_dev = len(dev_ds)
     n_b = -(-n_dev // bs)
     idx = np.full((n_b * bs,), -1, np.int32)
     idx[:n_dev] = np.arange(n_dev)
@@ -187,28 +238,32 @@ def fit_fused(trainer, train_ds, dev_ds) -> dict:
     didx = jnp.asarray(idx.reshape(n_b, bs))
     dw = jnp.asarray(w.reshape(n_b, bs))
 
-    fused_key = (len(train_ds), n_dev)
+    fused_key = (len(train_ds), n_dev, start_epoch, tuple(sorted(init_best.items())))
     if getattr(trainer, "_fused_fn_key", None) != fused_key:
-        trainer._fused_fn = make_fused_fit(trainer.model, trainer.tx, cfg, len(train_ds), n_dev)
+        trainer._fused_fn = make_fused_fit(
+            trainer.model, trainer.tx, cfg, len(train_ds), n_dev,
+            start_epoch=start_epoch, init_best=init_best,
+        )
         trainer._fused_fn_key = fused_key
-    final_state, best_params, history = trainer._fused_fn(
+    final_state, best_vars, aux, history = trainer._fused_fn(
         trainer.state, feats_all, labels_all, df, dl, didx, dw
     )
     trainer.state = final_state
-    trainer._best_params = best_params
+    trainer._best_params = best_vars["params"]
+    trainer._best_batch_stats = best_vars["batch_stats"]
 
     (train_loss, dev_loss, fa, fr, thr, lr, is_best, stopped) = jax.device_get(history)
-    nb = int(np.sum(dev_ds.labels))
-    ns = n_dev - nb
+    aux = jax.device_get(aux)
     out_history: list[EpochMetrics] = []
     prev_eer = None
-    for e in range(cfg.epochs):
+    n_epochs_traced = cfg.epochs - start_epoch + 1
+    for e in range(n_epochs_traced):
         if stopped[e] and np.isnan(train_loss[e]):
             break  # post-early-stop no-op epochs
         eer = (float(fa[e]) / max(ns, 1) + float(fr[e]) / max(nb, 1)) / 2.0
         out_history.append(
             EpochMetrics(
-                epoch=e + 1,
+                epoch=start_epoch + e,
                 train_loss=float(train_loss[e]),
                 dev_loss=float(dev_loss[e]),
                 dev_eer=eer,
@@ -219,12 +274,25 @@ def fit_fused(trainer, train_ds, dev_ds) -> dict:
         )
         prev_eer = eer
     trainer.history = out_history
-    best = min((m for m in out_history if m.dev_eer is not None),
-               key=lambda m: m.dev_eer, default=None)
+
+    # leave the trainer's host-side scheduler/lr where the device run ended,
+    # so subsequent saves/resumes see the fused run's state
+    trainer._lr = float(aux["lr"])
+    if trainer.scheduler is not None:
+        sb = float(aux["sched_best"])
+        trainer.scheduler.best = None if np.isinf(sb) else sb
+        trainer.scheduler.num_bad_epochs = int(aux["sched_bad"])
+
+    best_num = float(aux["best_num"])
+    have_best = best_num >= 0 and ns > 0 and nb > 0
     return {
-        "best_eer": best.dev_eer if best else None,
-        "best_train_loss": None,
-        "best_dev_loss": None,
+        "best_eer": best_num / (2.0 * ns * nb) if have_best else None,
+        "best_train_loss": float(aux["best_train_loss"]) if have_best else None,
+        "best_dev_loss": float(aux["best_dev_loss"]) if have_best else None,
+        "best_epoch": int(aux["best_epoch"]) if have_best else None,
+        "epochs_no_improve": int(aux["no_improve"]),
         "history": out_history,
-        "best_params": best_params,
+        "best_variables": {
+            "params": best_vars["params"], "batch_stats": best_vars["batch_stats"]
+        },
     }

@@ -293,21 +293,28 @@ class Trainer:
         return v
 
     def best_variables(self) -> dict:
-        """Best-epoch parameters (populated by :func:`fit_fused`; falls back
-        to the current parameters)."""
+        """Best-epoch {params, batch_stats} (populated by :func:`fit_fused`;
+        falls back to the current variables). The BN running stats come from
+        the SAME epoch as the params — a mixed snapshot would not be the
+        model that achieved the best dev EER."""
         params = getattr(self, "_best_params", None)
+        stats = getattr(self, "_best_batch_stats", None)
         v = {"params": params if params is not None else self.state.params}
-        if self.state.batch_stats:
-            v["batch_stats"] = self.state.batch_stats
+        stats = stats if stats is not None else self.state.batch_stats
+        if stats:
+            v["batch_stats"] = stats
         return v
 
-    def fit_fused(self, train_ds: ArrayDataset, dev_ds: ArrayDataset) -> dict:
+    def fit_fused(
+        self, train_ds: ArrayDataset, dev_ds: ArrayDataset,
+        resume_from: str | None = None,
+    ) -> dict:
         """One-dispatch training: the whole run (epochs + eval + best rule +
         plateau + early stop) as a single compiled program. See
         :mod:`dfac_tpu.train.fused_fit`."""
         from dfac_tpu.train.fused_fit import fit_fused
 
-        return fit_fused(self, train_ds, dev_ds)
+        return fit_fused(self, train_ds, dev_ds, resume_from=resume_from)
 
     # -- loop -------------------------------------------------------------
     def _resident_dev_metrics(self, dev_ds: ArrayDataset) -> dict:

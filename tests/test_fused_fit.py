@@ -53,6 +53,85 @@ def test_fused_fit_early_stop():
     assert len(got["history"]) <= 4
 
 
+def test_fused_best_snapshot_matches_per_epoch_best_checkpoint(tmp_path):
+    """The fused best snapshot carries params AND batch_stats from the best
+    epoch — identical to the per-epoch trainer's best checkpoint on disk.
+    The data is barely separable so dev EER worsens after epoch 1: the best
+    epoch precedes the final one, and a mixed best-params/final-stats
+    snapshot would fail this test."""
+    import jax
+
+    from dfac_tpu.train.checkpoint import load_model_variables
+
+    def noisy(seed, n=48, f=16, t=24):
+        rng = np.random.default_rng(seed)
+        labels = (np.arange(n) % 2).astype(np.int32)
+        feats = rng.normal(size=(n, f, t)).astype(np.float32)
+        feats[labels == 1, : f // 2] += 0.15
+        return ArrayDataset([f"u{seed}_{i}" for i in range(n)], feats, labels)
+
+    train_ds, dev_ds = noisy(24), noisy(44, n=22)
+    cfg = _cfg(epochs=3, seed=4, lr_scheduler="none")
+
+    ref = Trainer(cfg)
+    ref_result = ref.fit(train_ds, dev_ds, checkpoint_dir=str(tmp_path))
+    ref_best = load_model_variables(str(tmp_path / "cnn1d_best.ckpt"))
+    ref_best_epoch = max(m.epoch for m in ref_result["history"] if m.is_best)
+
+    fused = Trainer(cfg)
+    got = fused.fit_fused(train_ds, dev_ds)
+    best = fused.best_variables()
+
+    assert ref_best_epoch < ref_result["history"][-1].epoch  # scenario holds
+    assert got["best_epoch"] == ref_best_epoch
+    assert got["best_train_loss"] == pytest.approx(ref_result["best_train_loss"], rel=1e-5)
+    assert got["best_dev_loss"] == pytest.approx(ref_result["best_dev_loss"], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(best), jax.tree.leaves(ref_best)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+    # BN stats moved after the best epoch: snapshot must differ from final
+    final_stats = jax.tree.leaves(fused.state.batch_stats)
+    best_stats = jax.tree.leaves(best["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(best_stats, final_stats)
+    )
+
+
+def test_fused_resume_continues_run(tmp_path):
+    """Resume-into-fused: 2 epochs + save + resume for 2 more == one
+    continuous 4-epoch fused run (dropout=0: the PRNG key is not part of
+    the checkpoint, so only dropout/augment would diverge)."""
+    train_ds, dev_ds = _ds(9), _ds(10, n=22)
+    ckpt = str(tmp_path / "resume.ckpt")
+
+    t1 = Trainer(_cfg(epochs=2, dropout=0.0))
+    r1 = t1.fit_fused(train_ds, dev_ds)
+    t1._save(
+        ckpt, epoch=r1["history"][-1].epoch, config_snapshot=None,
+        trainer_state={
+            "best_eer": r1["best_eer"], "best_train_loss": r1["best_train_loss"],
+            "best_dev_loss": r1["best_dev_loss"],
+            "epochs_no_improve": r1["epochs_no_improve"], "lr": t1._lr,
+        },
+    )
+
+    t2 = Trainer(_cfg(epochs=4, dropout=0.0))
+    r2 = t2.fit_fused(train_ds, dev_ds, resume_from=ckpt)
+    tc = Trainer(_cfg(epochs=4, dropout=0.0))
+    rc = tc.fit_fused(train_ds, dev_ds)
+
+    assert [m.epoch for m in r2["history"]] == [3, 4]
+    for a, b in zip(r2["history"], rc["history"][2:]):
+        assert a.train_loss == pytest.approx(b.train_loss, rel=1e-4)
+        assert a.dev_loss == pytest.approx(b.dev_loss, rel=1e-4)
+        assert a.dev_eer == pytest.approx(b.dev_eer, abs=1e-9)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(t2.state.params), jax.tree.leaves(tc.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+    assert r2["best_eer"] == pytest.approx(rc["best_eer"], abs=1e-9)
+
+
 def test_fused_fit_best_params_snapshot():
     import jax
 
