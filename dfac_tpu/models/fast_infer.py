@@ -81,3 +81,39 @@ def cnn2d_fast_scores(
     logits = emb.astype(dt) @ folded["w_cls"].astype(dt) + folded["b_cls"]
     logits = logits[:, 0].astype(jnp.float32)
     return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+
+@functools.partial(jax.jit, static_argnames=("apply_sigmoid", "compute_dtype"))
+def cnn2d_fast_scores_tf(
+    folded: dict,
+    feats_tf: jax.Array,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Swapped-orientation (B, T, F) features -> (B,) scores.
+
+    The CNN2D-native grid (reference ``src/model.py:33-42`` after its
+    transpose): kernels used as stored, pooling (2, 1) over time, mean over
+    axis 1. Composes with the GEMM front-end's natural (B, T, 180) output
+    (:func:`dfac_tpu.ops.pallas.gemm_frontend.gemm_lfcc_features_tf`) so the
+    end-to-end serving chain contains NO transposes at all. Same math as
+    ``sigmoid(CNN2D.apply(vars, feats_tf))`` with BN folded.
+    """
+    dt = compute_dtype
+    h = feats_tf.astype(dt)[..., None]  # (B, T, F, 1): grid is (T, F)
+    for i in (1, 2, 3):
+        h = jax.lax.conv_general_dilated(
+            h, folded[f"w{i}"].astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        h = jnp.maximum(h + folded[f"b{i}"], 0.0)
+        if i < 3:
+            h = nn.avg_pool(h.astype(dt), (2, 1), (2, 1), "VALID")  # pool T (axis 1)
+        else:
+            h = h.astype(dt)
+    hm = jnp.mean(h.astype(jnp.float32), axis=1)  # mean over time -> (B, F, C)
+    emb = jnp.swapaxes(hm, 1, 2).reshape(hm.shape[0], -1)  # channel-major
+    logits = emb.astype(dt) @ folded["w_cls"].astype(dt) + folded["b_cls"]
+    logits = logits[:, 0].astype(jnp.float32)
+    return jax.nn.sigmoid(logits) if apply_sigmoid else logits

@@ -136,6 +136,23 @@ def gemm_lfcc_cepstra(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def gemm_lfcc_features_tf(
+    waveform: jax.Array,
+    cfg: lfcc_mod.LFCCConfig = lfcc_mod.LFCCConfig(),
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """(..., N) waveform -> (..., T, 180) swapped-orientation features — the
+    front-end's NATURAL layout (frames are rows). Feeds the CNN2D-native
+    grid (``cnn2d_fast_scores_tf``) with zero transposes in the whole
+    serving chain; ``gemm_lfcc_features`` adds the swap for the stored
+    corpus contract."""
+    ceps = gemm_lfcc_cepstra(waveform, cfg, compute_dtype=compute_dtype)
+    d1 = lfcc_mod.compute_deltas(ceps, cfg.delta_window)
+    d2 = lfcc_mod.compute_deltas(d1, cfg.delta_window)
+    return jnp.concatenate([ceps, d1, d2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def gemm_lfcc_features(
     waveform: jax.Array,
     cfg: lfcc_mod.LFCCConfig = lfcc_mod.LFCCConfig(),
@@ -143,8 +160,5 @@ def gemm_lfcc_features(
 ) -> jax.Array:
     """(..., N) waveform -> (..., 180, T) stored-orientation features via the
     fully-fused GEMM front-end (drop-in for :func:`lfcc_features`)."""
-    ceps = gemm_lfcc_cepstra(waveform, cfg, compute_dtype=compute_dtype)
-    d1 = lfcc_mod.compute_deltas(ceps, cfg.delta_window)
-    d2 = lfcc_mod.compute_deltas(d1, cfg.delta_window)
-    feats = jnp.concatenate([ceps, d1, d2], axis=-1)
+    feats = gemm_lfcc_features_tf(waveform, cfg, compute_dtype=compute_dtype)
     return jnp.swapaxes(feats, -1, -2)

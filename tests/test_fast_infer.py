@@ -84,3 +84,65 @@ def test_bf16_inference_preserves_eer(rng):
     eer32, _ = calculate_eer(f32_scores, labels)
     eer16, _ = calculate_eer(bf16_scores, labels)
     assert abs(eer16 - eer32) <= 0.001
+
+
+def test_fast_tf_path_matches_reference_path(rng):
+    """(B, T, F)-native fast path == CNN2D.apply on the same grid (no input
+    transpose anywhere)."""
+    from dfac_tpu.models.fast_infer import cnn2d_fast_scores_tf
+
+    model, variables = _trained_like_variables(rng)
+    feats_tf = rng.normal(size=(B_, T_, F_)).astype(np.float32)
+
+    ref_logits = model.apply(variables, jnp.asarray(feats_tf))
+    ref = np.asarray(jax.nn.sigmoid(ref_logits[:, 0]))
+
+    folded = fold_cnn2d(variables)
+    got32 = np.asarray(
+        cnn2d_fast_scores_tf(folded, jnp.asarray(feats_tf), compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got32, ref, atol=1e-5)
+    # and identical to the stored-orientation fast path on the same data
+    got_stored = np.asarray(
+        cnn2d_fast_scores(
+            folded, jnp.transpose(jnp.asarray(feats_tf), (0, 2, 1)),
+            compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(got32, got_stored, atol=1e-6)
+
+
+def test_e2e_transpose_free_serving_chain(rng):
+    """gemm_lfcc_features_tf -> cnn2d_fast_scores_tf (zero transposes) ==
+    stored-orientation frontend -> swap -> CNN2D.apply."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dfac_tpu.features.lfcc import LFCCConfig
+    from dfac_tpu.models.fast_infer import cnn2d_fast_scores_tf
+    from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features, gemm_lfcc_features_tf
+
+    cfg = LFCCConfig()
+    n_frames = 17
+    waves = rng.normal(size=(2, cfg.num_samples(n_frames))).astype(np.float32)
+
+    model = build_model("cnn2d", in_features=cfg.feature_dim, base_channels=8)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, n_frames, cfg.feature_dim))
+    )
+    folded = fold_cnn2d(variables)
+
+    with pltpu.force_tpu_interpret_mode():
+        feats_tf = gemm_lfcc_features_tf(jnp.asarray(waves), cfg)
+        feats_stored = gemm_lfcc_features(jnp.asarray(waves), cfg)
+        got = np.asarray(
+            cnn2d_fast_scores_tf(folded, feats_tf, compute_dtype=jnp.float32)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(feats_tf), np.asarray(feats_stored).transpose(0, 2, 1)
+    )
+    ref = np.asarray(
+        jax.nn.sigmoid(
+            model.apply(variables, jnp.transpose(feats_stored, (0, 2, 1)))[:, 0]
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
