@@ -26,6 +26,12 @@ import numpy as np
 
 THRESHOLD_EPSILON = 1e-6
 
+# The device crossing search compares nb*far_num - ns*frr_num in int32;
+# the products stay exact while ns*nb < 2**31, i.e. up to (n/2)^2 < 2**31
+# for a balanced split -> n <= 92,680 always safe. Beyond that,
+# :func:`eer_device` falls back to the host float64 algorithm.
+INT32_EXACT_MAX_N = 92_680
+
 
 def calculate_eer(scores, labels) -> tuple[float, float]:
     """EER and threshold per the reference discrete rule (numpy, host-side).
@@ -119,6 +125,8 @@ def eer_counts_jax(scores: jax.Array, labels: jax.Array):
 
     far_num = n_spoof - cum_spoof        # FAR = far_num / n_spoof
     frr_num = cum_bona                   # FRR = frr_num / n_bonafide
+    # int32 products: exact while ns*nb < 2**31 (see INT32_EXACT_MAX_N);
+    # eer_device routes larger inputs to the host float64 path
     diff = jnp.abs(n_bonafide * far_num - n_spoof * frr_num)
     eer_idx = jnp.argmin(diff)
 
@@ -159,8 +167,12 @@ def eer_device(scores, labels) -> tuple[float, float]:
     """EER computed on device, finalized on host in float64.
 
     Bit-exact vs :func:`calculate_eer` (the sort, cumsum, and crossing search
-    run on the accelerator; only the two final divisions run on host).
+    run on the accelerator; only the two final divisions run on host). Splits
+    larger than :data:`INT32_EXACT_MAX_N` route to the host float64 algorithm
+    where the device's int32 crossing products could overflow.
     """
+    if np.asarray(scores).size > INT32_EXACT_MAX_N:
+        return calculate_eer(np.asarray(scores), np.asarray(labels))
     far_num, frr_num, ns, nb, threshold = jax.device_get(
         eer_counts_jax(jnp.asarray(scores), jnp.asarray(labels))
     )

@@ -92,6 +92,10 @@ def make_resident_evaluator(
     exact EER crossing counts (:func:`dfac_tpu.ops.eer.eer_counts_jax`) all
     inside a single jit — one dispatch and a few scalars fetched per epoch,
     instead of re-transferring the dev features every evaluation.
+
+    The in-jit crossing search uses int32 products — exact only up to
+    :data:`dfac_tpu.ops.eer.INT32_EXACT_MAX_N` rows; callers with larger dev
+    splits must use the host evaluator (:func:`evaluate_classifier`).
     """
     from dfac_tpu.ops.eer import eer_counts_jax
 

@@ -222,6 +222,14 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
             if sd.get("best") is not None:
                 init_best["sched_best"] = sd["best"]
             init_best["sched_bad"] = sd.get("num_bad_epochs", 0)
+    from dfac_tpu.ops.eer import INT32_EXACT_MAX_N
+
+    if n_dev > INT32_EXACT_MAX_N:
+        raise ValueError(
+            f"fused fit supports dev splits up to {INT32_EXACT_MAX_N} rows "
+            "(int32-exact EER crossing inside the scan); use the per-epoch "
+            "trainer with host evaluation for larger splits"
+        )
     if trainer.state is None:
         trainer.init_state(train_ds.features[: max(cfg.batch_size, 1)])
     feats_all, labels_all = trainer._resident_arrays(train_ds)

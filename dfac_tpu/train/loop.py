@@ -324,6 +324,14 @@ class Trainer:
         cfg = self.cfg
         bs = cfg.eval_batch_size or cfg.batch_size
         if getattr(self, "_dev_resident_key", None) != id(dev_ds):
+            from dfac_tpu.ops.eer import INT32_EXACT_MAX_N
+
+            if len(dev_ds) > INT32_EXACT_MAX_N:
+                raise ValueError(
+                    f"device-resident evaluation supports dev splits up to "
+                    f"{INT32_EXACT_MAX_N} rows (int32-exact EER crossing); "
+                    "disable device_resident for larger splits"
+                )
             self._dev_feats = jax.device_put(jnp.asarray(dev_ds.features))
             self._dev_labels = jax.device_put(jnp.asarray(dev_ds.labels.astype(np.float32)))
             n = len(dev_ds)

@@ -105,3 +105,17 @@ def test_eer_large_scale_device():
     assert eer_d == pytest.approx(eer_np, abs=0)
     assert thr_d == pytest.approx(thr_np, abs=1e-6)
     assert 0.2 < eer_d < 0.4  # sanity for this separation
+
+
+def test_eer_device_large_split_overflow_safe(rng):
+    """Splits beyond INT32_EXACT_MAX_N route around the int32 crossing
+    products (which could overflow at ns*nb >= 2**31) to the exact host
+    algorithm."""
+    from dfac_tpu.ops.eer import INT32_EXACT_MAX_N, calculate_eer, eer_device
+
+    n = INT32_EXACT_MAX_N + 20_000  # ns*nb ~ (n/2)^2 > 2**31
+    labels = (np.arange(n) % 2).astype(np.int32)
+    scores = rng.normal(size=n).astype(np.float32) + 0.8 * labels
+    eer_d, thr_d = eer_device(scores, labels)
+    eer_h, thr_h = calculate_eer(scores, labels)
+    assert eer_d == eer_h and thr_d == thr_h

@@ -96,3 +96,42 @@ def test_legacy_storage_blob(rng):
 
     arr = _TorchFreeUnpickler(io.BytesIO(cell_bytes)).load()
     np.testing.assert_array_equal(arr, t.numpy())
+
+
+def test_legacy_format_state_dict(tmp_path, rng):
+    """Full legacy (non-zip) torch.save checkpoints load torch-free: a
+    wrapped dict with a state_dict, scalars, and mixed dtypes."""
+    torch = pytest.importorskip("torch")
+
+    from dfac_tpu.utils.torch_checkpoint import extract_state_dict, load_torch_checkpoint
+
+    sd = {
+        "conv.weight": torch.from_numpy(rng.normal(size=(8, 4, 3, 3)).astype(np.float32)),
+        "bn.running_mean": torch.from_numpy(rng.normal(size=(8,)).astype(np.float32)),
+        "steps": torch.from_numpy(np.asarray([7], np.int64)),
+    }
+    ckpt = {"model_state_dict": sd, "epoch": 3, "config": {"lr": 1e-3}}
+    p = str(tmp_path / "legacy.pt")
+    torch.save(ckpt, p, _use_new_zipfile_serialization=False)
+
+    out = load_torch_checkpoint(p)
+    assert out["epoch"] == 3 and out["config"]["lr"] == 1e-3
+    got = extract_state_dict(out)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(got[k], v.numpy())
+
+
+def test_legacy_format_shared_storage(tmp_path, rng):
+    """Legacy tensors sharing one storage (views) resolve independently."""
+    torch = pytest.importorskip("torch")
+
+    from dfac_tpu.utils.torch_checkpoint import load_torch_checkpoint
+
+    base = torch.from_numpy(rng.normal(size=(6, 5)).astype(np.float32))
+    obj = {"a": base, "b": base[2:], "c": base.t().contiguous()}
+    p = str(tmp_path / "legacy_views.pt")
+    torch.save(obj, p, _use_new_zipfile_serialization=False)
+    out = load_torch_checkpoint(p)
+    np.testing.assert_array_equal(out["a"], base.numpy())
+    np.testing.assert_array_equal(out["b"], base.numpy()[2:])
+    np.testing.assert_array_equal(out["c"], base.numpy().T)
