@@ -63,6 +63,8 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU fast path)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (0 = single device)")
+    p.add_argument("--checkpoint-format", choices=("pickle", "orbax"), default="pickle",
+                   help="checkpoint layout: single-file pickle or orbax directory")
     p.add_argument("--device-resident", action="store_true",
                    help="upload the training corpus to HBM once; gather batches on device")
     p.add_argument("--fused-fit", action="store_true",
@@ -142,6 +144,7 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else None,
         data_parallel=args.data_parallel,
         device_resident=args.device_resident or args.fused_fit,
+        checkpoint_format=args.checkpoint_format,
     )
 
     visualizer = create_visualizer(

@@ -65,6 +65,8 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> dict:
+    if os.path.isdir(path):  # orbax checkpoint directory
+        return load_checkpoint_orbax(path)
     with open(path, "rb") as f:
         ckpt = pickle.load(f)
     if isinstance(ckpt, dict) and "model_state" in ckpt:
@@ -76,23 +78,44 @@ def load_checkpoint(path: str) -> dict:
 def save_checkpoint_orbax(
     path: str,
     variables: dict,
+    opt_state: Any = None,
     epoch: int = 0,
     config: dict | None = None,
+    scheduler_state: dict | None = None,
 ) -> None:
     """Orbax-format checkpoint (atomic directory writes, ecosystem-standard
     pytree layout) — the production alternative to the single-file pickle
-    format. ``path`` becomes a checkpoint *directory*."""
+    format, carrying the SAME full train state (model variables, optimizer
+    state, epoch, config snapshot, scheduler state). ``path`` becomes a
+    checkpoint *directory*.
+
+    The optimizer state's array leaves ride in the orbax tree; its pytree
+    structure (optax namedtuples) is stored as a pickled treedef sidecar and
+    re-applied on load, so a restored checkpoint feeds straight back into
+    ``optax`` updates.
+    """
     import json
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    tree = {"model_state": _to_numpy(variables)}
+    opt_treedef = None
+    if opt_state is not None:
+        leaves, opt_treedef = jax.tree.flatten(_to_numpy(opt_state))
+        tree["opt_leaves"] = {f"{i:05d}": leaf for i, leaf in enumerate(leaves)}
     with ocp.StandardCheckpointer() as ckptr:
         # StandardCheckpointer handles array pytrees; scalar/string metadata
         # rides in a JSON sidecar inside the checkpoint directory.
-        ckptr.save(path, _to_numpy(variables), force=True)
+        ckptr.save(path, tree, force=True)
+    meta = {"epoch": int(epoch), "config": config or {}}
+    if scheduler_state is not None:
+        meta["scheduler_state"] = scheduler_state
     with open(os.path.join(path, "dfac_metadata.json"), "w") as f:
-        json.dump({"epoch": int(epoch), "config": config or {}}, f)
+        json.dump(meta, f)
+    if opt_treedef is not None:
+        with open(os.path.join(path, "opt_treedef.pkl"), "wb") as f:
+            pickle.dump(opt_treedef, f)
 
 
 def load_checkpoint_orbax(path: str) -> dict:
@@ -102,13 +125,24 @@ def load_checkpoint_orbax(path: str) -> dict:
 
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        model_state = ckptr.restore(path)
+        tree = ckptr.restore(path)
+    if "model_state" in tree:
+        model_state = tree["model_state"]
+    else:  # round-1 layout: the variables tree saved bare
+        model_state = tree
+    opt_state = None
+    treedef_path = os.path.join(path, "opt_treedef.pkl")
+    if "opt_leaves" in tree and os.path.exists(treedef_path):
+        with open(treedef_path, "rb") as f:
+            opt_treedef = pickle.load(f)
+        leaves = [tree["opt_leaves"][k] for k in sorted(tree["opt_leaves"])]
+        opt_state = jax.tree.unflatten(opt_treedef, leaves)
     meta = {"epoch": 0, "config": {}}
     meta_path = os.path.join(path, "dfac_metadata.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    return {"model_state": model_state, "optimizer_state": None, **meta}
+    return {"model_state": model_state, "optimizer_state": opt_state, **meta}
 
 
 def load_model_variables(path: str, model_name: str | None = None) -> dict:

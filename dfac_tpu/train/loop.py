@@ -76,6 +76,7 @@ class TrainConfig:
     compute_dtype: str | None = None  # None (f32) | "bfloat16"
     data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
     device_resident: bool = False  # upload corpus once; gather batches on device
+    checkpoint_format: str = "pickle"  # pickle (single file) | orbax (directory)
 
     def __post_init__(self):
         if not (0.0 <= self.label_smoothing < 0.5):
@@ -639,7 +640,12 @@ class Trainer:
         config = dict(config_snapshot or dataclasses.asdict(self.cfg))
         if trainer_state is not None:
             config["_trainer_state"] = trainer_state
-        ckpt_lib.save_checkpoint(
+        save = (
+            ckpt_lib.save_checkpoint_orbax
+            if self.cfg.checkpoint_format == "orbax"
+            else ckpt_lib.save_checkpoint
+        )
+        save(
             path,
             self.variables(),
             opt_state=self.state.opt_state,

@@ -16,16 +16,17 @@ def _ds(seed, n=24, f=16, t=20):
     return ArrayDataset([f"u{seed}_{i}" for i in range(n)], feats, labels)
 
 
-def test_resume_continues_from_checkpoint(tmp_path):
+@pytest.mark.parametrize("fmt", ["pickle", "orbax"])
+def test_resume_continues_from_checkpoint(tmp_path, fmt):
     train_ds, dev_ds = _ds(0), _ds(1, 16)
     cfg = TrainConfig(model="cnn1d", batch_size=8, epochs=2, in_features=16,
-                      lr=2e-3, lr_scheduler="plateau")
+                      lr=2e-3, lr_scheduler="plateau", checkpoint_format=fmt)
     t1 = Trainer(cfg)
     t1.fit(train_ds, dev_ds, checkpoint_dir=str(tmp_path))
 
     # resume for 2 more epochs
     cfg2 = TrainConfig(model="cnn1d", batch_size=8, epochs=4, in_features=16,
-                       lr=2e-3, lr_scheduler="plateau")
+                       lr=2e-3, lr_scheduler="plateau", checkpoint_format=fmt)
     t2 = Trainer(cfg2)
     result = t2.fit(
         train_ds, dev_ds, checkpoint_dir=str(tmp_path),
@@ -76,3 +77,37 @@ def test_trace_writes_profile(tmp_path):
     with trace(str(tmp_path / "prof")):
         jnp.sum(jnp.ones((8, 8))).block_until_ready()
     assert glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
+
+
+def test_orbax_full_state_roundtrip(tmp_path):
+    """Orbax checkpoints carry the FULL train state: optimizer state
+    (structure and moments), scheduler state, trainer counters — a resume
+    through the orbax path continues with the same optimizer moments as the
+    pickle path."""
+    import jax
+    import numpy as np
+
+    from dfac_tpu.train.checkpoint import load_checkpoint
+
+    train_ds, dev_ds = _ds(4), _ds(5, 16)
+    cfg = TrainConfig(model="cnn1d", batch_size=8, epochs=1, in_features=16,
+                      lr=2e-3, lr_scheduler="plateau", checkpoint_format="orbax")
+    t1 = Trainer(cfg)
+    t1.fit(train_ds, dev_ds, checkpoint_dir=str(tmp_path))
+
+    ck = load_checkpoint(str(tmp_path / "cnn1d_last.ckpt"))
+    assert ck["epoch"] == 1
+    assert ck["optimizer_state"] is not None
+    assert ck.get("scheduler_state") is not None
+    assert ck["config"]["_trainer_state"]["best_eer"] is not None
+    # optimizer state round-trips structurally AND numerically
+    ref_leaves = jax.tree.leaves(t1.state.opt_state)
+    got_leaves = jax.tree.leaves(ck["optimizer_state"])
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    # restored optimizer state drives a real update step
+    t2 = Trainer(cfg)
+    t2.restore(str(tmp_path / "cnn1d_last.ckpt"))
+    assert t2.scheduler.best == t1.scheduler.best
+    t2.train_epoch(train_ds, epoch=2)
