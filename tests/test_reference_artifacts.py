@@ -61,3 +61,88 @@ def test_pickle_forensics_on_reference_files():
     stats = analyze_pickle_bytecode(f"{REF}/results/prediction_hybrid_final.pkl")
     assert "error" not in stats
     assert any("pandas" in g for g in stats["globals"])
+
+
+def test_published_test1_distribution_stats():
+    """Reproduce final_submission_report.md §3 'Test 1 Results / Distribution
+    Analysis' from the shipped verify_test1.pkl through our tooling:
+    min 0.000841 / max 0.999979 / median 0.2705; fractions <0.01 = 5.80%,
+    >0.99 = 40.80%."""
+    from dfac_tpu.ensemble.hybrid import score_distribution_report
+    from dfac_tpu.io.pickle_io import load_predictions
+
+    _, scores = load_predictions(f"{REF}/results/verify_test1.pkl")
+    rep = score_distribution_report(scores)
+    assert rep["n"] == 500
+    assert rep["min"] == pytest.approx(0.000841, abs=5e-7)
+    assert rep["max"] == pytest.approx(0.999979, abs=5e-7)
+    assert rep["median"] == pytest.approx(0.2705, abs=5e-3)
+    assert np.mean(scores < 0.01) == pytest.approx(0.0580, abs=1e-4)
+    assert np.mean(scores > 0.99) == pytest.approx(0.4080, abs=1e-4)
+
+
+def _implied_test1_labels():
+    """test1 labels implied by the reference's own artifacts: the submitted
+    CNN2D achieves EER 0.000000 on test1 (final_submission_report.md §3), so
+    its score ORDERING separates the classes perfectly and the top-219
+    scores are the bonafide rows (published split 219/281,
+    cae_v7_test1_eval.txt). The implication is independently validated by
+    test_published_dlqueen_test1_eer reproducing three published dlqueen
+    numbers against these labels."""
+    from dfac_tpu.io.pickle_io import load_predictions
+
+    uttids, scores = load_predictions(f"{REF}/results/verify_test1.pkl")
+    labels = np.zeros(len(scores), np.int32)
+    labels[np.argsort(-scores)[:219]] = 1
+    assert int(labels.sum()) == 219 and int((1 - labels).sum()) == 281
+    return uttids, scores, labels
+
+
+def test_published_dlqueen_test1_eer():
+    """Recompute final_leaderboard_analysis.md §6 'Test1' dlqueen numbers
+    from the shipped prediction_dlqueen_test1.pkl (raw logits) with OUR EER
+    and the implied test1 labels: EER 0.41%; per-class sigmoid stats
+    bonafide 0.993 +/- 0.069 and spoof 0.000 +/- 0.004. (The shipped
+    verify_test1.pkl is a different CNN2D run than that table's 'ours'
+    column — its own published numbers are covered by
+    test_published_test1_distribution_stats.)"""
+    from dfac_tpu.io.pickle_io import load_predictions
+    from dfac_tpu.ops.eer import calculate_eer, eer_device
+
+    u_ours, _s_ours, labels = _implied_test1_labels()
+    u_dlq, logits = load_predictions(f"{REF}/results/prediction_dlqueen_test1.pkl")
+    order = {u: i for i, u in enumerate(u_dlq)}
+    s_dlq = 1.0 / (1.0 + np.exp(-logits[[order[u] for u in u_ours]]))
+
+    eer, _ = calculate_eer(s_dlq, labels)
+    assert eer == pytest.approx(0.0041, abs=5e-5)  # published 0.41%
+    eer_dev, _ = eer_device(s_dlq, labels)
+    assert eer_dev == eer  # device crossing search bit-agrees on real data
+
+    assert s_dlq[labels == 1].mean() == pytest.approx(0.993, abs=5e-4)
+    assert s_dlq[labels == 1].std() == pytest.approx(0.069, abs=5e-4)
+    assert s_dlq[labels == 0].mean() == pytest.approx(0.000, abs=5e-4)
+    assert s_dlq[labels == 0].std() == pytest.approx(0.004, abs=5e-4)
+
+
+def test_published_test2_ood_comparison():
+    """Reproduce final_leaderboard_analysis.md §6 'Test2 (OOD)' table from
+    the shipped test2 prediction files (ours: sigmoid scores; dlqueen: raw
+    logits, published stats are on their sigmoid): REAL calls 29 vs 6;
+    sigmoid means 0.272 vs 0.070; <0.01 counts 32 vs 83; dlqueen's
+    reproduced logit distribution mean -10.36 / std 5.71."""
+    from dfac_tpu.io.pickle_io import load_predictions
+
+    u_ours, s_ours = load_predictions(f"{REF}/results/prediction_ours_test2.pkl")
+    u_dlq, logits = load_predictions(f"{REF}/results/prediction_dlqueen_test2.pkl")
+    order = {u: i for i, u in enumerate(u_dlq)}
+    logits = logits[[order[u] for u in u_ours]]
+    s_dlq = 1.0 / (1.0 + np.exp(-logits))
+    assert len(s_ours) == len(s_dlq) == 100
+
+    assert int((s_ours > 0.5).sum()) == 29 and int((s_dlq > 0.5).sum()) == 6
+    assert s_ours.mean() == pytest.approx(0.272, abs=5e-4)
+    assert s_dlq.mean() == pytest.approx(0.070, abs=5e-4)
+    assert int((s_ours < 0.01).sum()) == 32 and int((s_dlq < 0.01).sum()) == 83
+    assert logits.mean() == pytest.approx(-10.36, abs=5e-3)
+    assert logits.std() == pytest.approx(5.71, abs=5e-2)
