@@ -45,7 +45,7 @@ def main(argv=None):
 
     from dfac_tpu.data.normalizer import FeatureNormalizer
     from dfac_tpu.data.pipeline import load_dataset
-    from dfac_tpu.obs.factory import create_visualizer
+    from dfac_tpu.obs.cae_dashboard import create_cae_visualizer
     from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
 
     train_ds = load_dataset(args.train_features, args.train_labels)
@@ -63,7 +63,7 @@ def main(argv=None):
         seed=args.seed,
         device_resident=args.device_resident,
     )
-    visualizer = create_visualizer("noop" if args.quiet else ("tqdm" if args.no_rich else "rich"))
+    visualizer = create_cae_visualizer("noop" if args.quiet else ("plain" if args.no_rich else "rich"))
     trainer = CAETrainer(cfg, visualizer=visualizer)
     normalizer = FeatureNormalizer.load(args.normalizer) if args.normalizer else None
     result = trainer.fit(train_ds, dev_ds, checkpoint_dir=args.checkpoint_dir, normalizer=normalizer)

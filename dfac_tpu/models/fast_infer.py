@@ -39,9 +39,12 @@ def _depthwise_avg_pool(h: jax.Array, window: tuple[int, int]) -> jax.Array:
     """(2,1)/(1,2) avg-pool as a stride-``window`` depthwise convolution.
 
     Identical math to ``nn.avg_pool(h, window, window, "VALID")`` (bit-exact
-    in f32, f32-accumulated in bf16) but ~20% faster inside conv chains on
-    TPU: reduce_window forces a layout change on C-minor activations, while
-    a depthwise conv stays in XLA's convolution layout domain.
+    in f32; in bf16 the MXU still accumulates the two taps in f32 before the
+    single bf16 round) but ~20% faster inside conv chains on TPU:
+    reduce_window forces a layout change on C-minor activations, while a
+    depthwise conv stays in XLA's convolution layout domain. Differentiable
+    (the VJP is the transposed depthwise conv — the same uniform-scatter
+    gradient as avg_pool).
     """
     c = h.shape[-1]
     taps = jnp.full((*window, 1, c), 1.0 / (window[0] * window[1]), h.dtype)
@@ -49,8 +52,7 @@ def _depthwise_avg_pool(h: jax.Array, window: tuple[int, int]) -> jax.Array:
         h, taps, window, "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
-    ).astype(h.dtype)
+    )
 
 
 def fold_cnn2d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:

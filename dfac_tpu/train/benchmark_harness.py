@@ -218,6 +218,46 @@ def _write_plots(output_dir, epoch_rows, ranking_rows):
     fig2.savefig(os.path.join(output_dir, "training_curves.png"), dpi=120)
     plt.close(fig2)
 
+    # Per-model curve files + combined losses plot — artifact-file parity
+    # with the reference harness (src/benchmark.py:551-605 per-model
+    # plots/{model}_curves.png; :672-704 plots/combined_losses.png).
+    plots_dir = os.path.join(output_dir, "plots")
+    os.makedirs(plots_dir, exist_ok=True)
+    combined_fig, combined_ax = plt.subplots(figsize=(10, 6))
+    for model, group in edf.groupby("model"):
+        agg = group[["epoch", "train_loss", "dev_loss", "dev_eer"]].groupby("epoch").agg(["mean", "std"])
+        epochs = agg.index
+        fig3, (ax_loss, ax_eer) = plt.subplots(2, 1, figsize=(10, 6))
+        for col, label, color in (
+            ("train_loss", "train loss", "#4c78a8"),
+            ("dev_loss", "dev loss", "#f58518"),
+        ):
+            mean = agg[(col, "mean")]
+            std = agg[(col, "std")].fillna(0)
+            ax_loss.plot(epochs, mean, label=label, color=color)
+            ax_loss.fill_between(epochs, mean - std, mean + std, alpha=0.2, color=color)
+        ax_loss.set_title(f"{model}: loss (mean ± std over seeds)")
+        ax_loss.legend()
+        eer_mean = agg[("dev_eer", "mean")]
+        eer_std = agg[("dev_eer", "std")].fillna(0)
+        ax_eer.plot(epochs, eer_mean, label="dev EER", color="#54a24b")
+        ax_eer.fill_between(epochs, eer_mean - eer_std, eer_mean + eer_std, alpha=0.2, color="#54a24b")
+        ax_eer.set_title(f"{model}: dev EER")
+        ax_eer.set_xlabel("epoch")
+        fig3.tight_layout()
+        fig3.savefig(os.path.join(plots_dir, f"{model}_curves.png"), dpi=120)
+        plt.close(fig3)
+
+        combined_ax.plot(epochs, agg[("train_loss", "mean")], label=f"{model} train")
+        combined_ax.plot(epochs, agg[("dev_loss", "mean")], linestyle="--", label=f"{model} dev")
+    combined_ax.set_xlabel("epoch")
+    combined_ax.set_ylabel("loss")
+    combined_ax.set_title("train vs dev loss (all models)")
+    combined_ax.legend(ncol=2, fontsize=8)
+    combined_fig.tight_layout()
+    combined_fig.savefig(os.path.join(plots_dir, "combined_losses.png"), dpi=120)
+    plt.close(combined_fig)
+
 
 def _write_report(output_dir, run_rows, ranking_rows):
     lines = ["# Benchmark report", "", "## Ranking (mean best dev EER)", ""]
@@ -241,6 +281,12 @@ def _write_report(output_dir, run_rows, ranking_rows):
             f"{r['epochs_run']} | {r['wall_seconds']} | {r['mean_utt_per_sec']} | "
             f"{'yes' if r['overfit'] else 'no'} |"
         )
+    lines += ["", "## Plots", ""]
+    lines.append("- ranking: `model_ranking.png`")
+    lines.append("- all-model curves: `training_curves.png`")
+    lines.append("- combined: `plots/combined_losses.png`")
+    for model in sorted({r["model"] for r in run_rows}):
+        lines.append(f"- {model}: `plots/{model}_curves.png`")
     with open(os.path.join(output_dir, "benchmark_report.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

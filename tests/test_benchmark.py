@@ -59,6 +59,10 @@ def test_run_benchmark_outputs(tmp_path, rng):
         assert os.path.exists(os.path.join(out, f)), f
     assert os.path.exists(os.path.join(out, "model_ranking.png"))
     assert os.path.exists(os.path.join(out, "training_curves.png"))
+    # per-model + combined plot files (reference src/benchmark.py:820-825)
+    assert os.path.exists(os.path.join(out, "plots", "cnn1d_curves.png"))
+    assert os.path.exists(os.path.join(out, "plots", "cnn1d+specaug_curves.png"))
+    assert os.path.exists(os.path.join(out, "plots", "combined_losses.png"))
     runs = pd.read_csv(os.path.join(out, "model_runs.csv"))
     assert set(runs["model"]) == {"cnn1d", "cnn1d+specaug"}
     assert runs["best_dev_eer"].notna().all()
@@ -66,6 +70,7 @@ def test_run_benchmark_outputs(tmp_path, rng):
     assert ranking["mean_best_eer"].is_monotonic_increasing
     report = open(os.path.join(out, "benchmark_report.md")).read()
     assert "## Ranking" in report and "cnn1d" in report
+    assert "## Plots" in report and "plots/cnn1d_curves.png" in report
 
 
 def test_compare_normalization_cli(tmp_path, rng):

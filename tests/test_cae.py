@@ -101,3 +101,24 @@ def test_cae_device_resident_training():
     # same order of magnitude (different shuffles, same data/seeds)
     a, b = results[False]["best_val_mse"], results[True]["best_val_mse"]
     assert abs(a - b) / max(a, b) < 0.5
+
+
+def test_cae_generalized_geometry():
+    """Per-stage output_padding is derived from the encoder shape trace:
+    any F >= 16 reconstructs to the exact input (T, F); sub-16 spatial
+    dims raise instead of collapsing the bottleneck to size 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfac_tpu.models.cae import ConvAutoencoder
+
+    m = ConvAutoencoder(base_channels=2)
+    for t, f in ((49, 36), (321, 180), (16, 17), (33, 100)):
+        x = jnp.zeros((2, t, f))
+        variables = m.init(jax.random.PRNGKey(0), x, train=True)
+        recon, latent = m.apply(variables, x, train=False)
+        assert recon.shape == (2, t, f), (t, f, recon.shape)
+        assert all(d >= 1 for d in latent.shape), (t, f, latent.shape)
+
+    with pytest.raises(ValueError, match="floor-pool"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 12)), train=True)

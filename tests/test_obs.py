@@ -72,3 +72,56 @@ def test_verify_uttid_alignment(synthetic_corpus, tmp_path):
     pd.DataFrame({"uttid": ["zzz"], "label": [1]}).to_pickle(bad)
     with pytest.raises(ValueError, match="uttid mismatch"):
         verify_uttid_alignment(synthetic_corpus["features_path"], str(bad))
+
+
+def test_cae_dashboard_factory_kinds():
+    from dfac_tpu.obs.cae_dashboard import (
+        CAEDashboard,
+        CAEPlainDashboard,
+        create_cae_visualizer,
+    )
+
+    assert isinstance(create_cae_visualizer("rich"), CAEDashboard)
+    assert isinstance(create_cae_visualizer("plain"), CAEPlainDashboard)
+    assert isinstance(create_cae_visualizer("noop"), NoOpVisualizer)
+    with pytest.raises(ValueError):
+        create_cae_visualizer("bogus")
+
+
+@pytest.mark.parametrize("kind", ["rich", "plain"])
+def test_cae_training_with_dashboard(kind, capsys):
+    """CAE fit drives the dedicated dashboard end to end; the rolling table /
+    per-epoch lines render without crashing and stay display-only."""
+    from dfac_tpu.obs.cae_dashboard import create_cae_visualizer
+    from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
+
+    rng = np.random.default_rng(0)
+    n, f, t = 12, 16, 16
+    labels = np.ones(n, np.int32)  # all bonafide
+    feats = rng.normal(size=(n, f, t)).astype(np.float32)
+    ds = ArrayDataset([f"u{i}" for i in range(n)], feats, labels)
+
+    cfg = CAEConfig(batch_size=4, epochs=2, base_channels=2, early_stop=5)
+    trainer = CAETrainer(cfg, visualizer=create_cae_visualizer(kind))
+    trainer.fit(ds, ds)
+    out = capsys.readouterr().out
+    if kind == "plain":
+        assert "train_mse=" in out and "val_mse=" in out
+    else:
+        assert "CAE Training" in out
+
+
+def test_cae_rolling_table_window():
+    """The live table shows at most the last 20 epochs (reference
+    src/train_cae.py:147)."""
+    from dfac_tpu.obs.cae_dashboard import ROLLING_ROWS, CAEDashboard
+
+    dash = CAEDashboard()
+    dash._early_stop = 10
+    dash.history = [
+        EpochMetrics(epoch=i, train_loss=0.1, dev_loss=0.2, dev_eer=None,
+                     learning_rate=1e-4, epochs_no_improve=0)
+        for i in range(1, 31)
+    ]
+    table = dash._build_table()
+    assert table.row_count == ROLLING_ROWS

@@ -229,12 +229,19 @@ def test_cae_epoch_scan_matches_stepwise_ragged(rng):
 
     import optax
 
-    n, bs, f, t = 13, 4, 12, 24
+    n, bs, f, t = 13, 4, 16, 24
     feats = rng.normal(size=(n, f, t)).astype(np.float32)
     mean = jnp.zeros((f,))
     std = jnp.ones((f,))
     model = build_model("cae", base_channels=4)
-    tx = optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3, weight_decay=1e-4)
+    # SGD, deliberately: this test checks the DATA-PATH semantics (batch
+    # membership, true-size tail, BN stats) shared by the scan and stepwise
+    # programs. With Adam, the conv biases feeding BN — whose true gradient
+    # is mathematically zero (BN subtracts the batch mean) — turn f32
+    # reassociation noise between the two compilations into +-lr-sized
+    # updates, which then perturb every later step. SGD keeps noise at
+    # noise level so the paths compare at 1e-6.
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=1e-2)
 
     def fresh_state():
         variables = model.init(

@@ -22,7 +22,9 @@ from dfac_tpu.utils.torch_import import torch_to_flax  # noqa: E402
 ])
 def test_export_import_roundtrip(name, kw, rng):
     model = build_model(name, **kw)
-    x = jnp.asarray(rng.normal(size=(2, 16, 12)).astype(np.float32))
+    # the CAE needs F >= 16 for its 4-stage floor-pool chain
+    f = 16 if name == "cae" else 12
+    x = jnp.asarray(rng.normal(size=(2, 16, f)).astype(np.float32))
     variables = model.init({"params": jax.random.key(0)}, x)
     # randomize batch stats so they round-trip non-trivially
     if "batch_stats" in variables:
