@@ -33,6 +33,7 @@ from dfac_tpu.data.normalizer import FeatureNormalizer, build_normalizer
 from dfac_tpu.data.pipeline import ArrayDataset, batch_iterator
 from dfac_tpu.models import build_model
 from dfac_tpu.models.cae import reconstruction_mse
+from dfac_tpu.utils.rng import train_key
 from dfac_tpu.obs.base import BatchMetrics, EpochMetrics, TrainingConfig, TrainingVisualizer
 from dfac_tpu.obs.noop import NoOpVisualizer
 from dfac_tpu.ops.eer import eer_device
@@ -232,8 +233,8 @@ class CAETrainer:
         std = jnp.asarray(self.normalizer.std)
         train_step = make_cae_train_step(self.model, self.tx, mean, std)
 
-        key = jax.random.key(cfg.seed)
-        init_key, state_key = jax.random.split(key)
+        init_key, _ = jax.random.split(jax.random.key(cfg.seed))
+        state_key = train_key(cfg.seed)  # TPU-fast rbg chain for dropout
         x0 = jnp.transpose(jnp.asarray(bona_train.features[:1]), (0, 2, 1))
         variables = self.model.init({"params": init_key, "dropout": init_key}, x0)
         self.state = TrainState(

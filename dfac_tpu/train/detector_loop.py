@@ -32,6 +32,7 @@ from dfac_tpu.data.augment import dlqueen_spec_augment
 from dfac_tpu.data.pipeline import ArrayDataset, pad_to_batch
 from dfac_tpu.models import build_model
 from dfac_tpu.ops.eer import eer_device
+from dfac_tpu.utils.rng import train_key
 
 
 @dataclasses.dataclass
@@ -169,8 +170,8 @@ class DetectorTrainer:
         lengths = self._lengths(train_ds)
         dev_lengths = self._lengths(dev_ds)
 
-        key = jax.random.key(cfg.seed)
-        init_key, state_key = jax.random.split(key)
+        init_key, _ = jax.random.split(jax.random.key(cfg.seed))
+        state_key = train_key(cfg.seed)  # TPU-fast rbg chain for dropout/specaug
         t_dim = train_ds.features.shape[2]
         x0 = jnp.zeros((1, t_dim, train_ds.features.shape[1]))
         variables = self.model.init({"params": init_key, "dropout": init_key}, x0)

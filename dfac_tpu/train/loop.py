@@ -38,6 +38,7 @@ from dfac_tpu.models import build_model
 from dfac_tpu.obs.base import BatchMetrics, EpochMetrics, TrainingConfig, TrainingVisualizer
 from dfac_tpu.obs.noop import NoOpVisualizer
 from dfac_tpu.train import checkpoint as ckpt_lib
+from dfac_tpu.utils.rng import train_key
 from dfac_tpu.train.evaluate import evaluate_classifier
 from dfac_tpu.train.optim import PlateauScheduler, build_optimizer, smooth_labels
 
@@ -273,8 +274,8 @@ class Trainer:
     # -- state ------------------------------------------------------------
     def init_state(self, example_batch: np.ndarray) -> TrainState:
         cfg = self.cfg
-        key = jax.random.key(cfg.seed)
-        init_key, state_key = jax.random.split(key)
+        init_key, _ = jax.random.split(jax.random.key(cfg.seed))
+        state_key = train_key(cfg.seed)  # TPU-fast rbg chain for dropout/augment
         x = jnp.asarray(example_batch[:1])
         if cfg.swap_tf:
             x = jnp.transpose(x, (0, 2, 1))
@@ -465,7 +466,7 @@ class Trainer:
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats", {}),
                 opt_state=self.tx.init(variables["params"]),
-                key=jax.random.key(self.cfg.seed + 1),
+                key=train_key(self.cfg.seed + 1),
             )
         restored_opt = ckpt.get("optimizer_state")
         self.state = self.state.replace(

@@ -60,11 +60,13 @@ def main():
         variables = model.init(
             {"params": jax.random.key(0)}, jnp.zeros((1, 321, 180), jnp.float32)
         )
+        from dfac_tpu.utils.rng import train_key
+
         state = TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(variables["params"]),
-            key=jax.random.key(1),
+            key=train_key(1),  # production trainers use the rbg chain
         )
         shape = (n, 321, 180) if args.pre_transposed else (n, 180, 321)
         feats = jax.jit(lambda key: jax.random.normal(key, shape, jnp.float32))(
