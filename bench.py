@@ -38,7 +38,11 @@ def main() -> None:
 
     cfg = LFCCConfig()
     n_corpus = 8192
-    batch = 512
+    # B=128 is the measured throughput peak on v5e for this chain — small
+    # enough that XLA overlaps consecutive batch dispatches and the conv
+    # activations stay cache-friendly; swept 32..2048 in
+    # results/v5e_measurements.md (B=512: 24.5k, B=128: 29.0k utt/s).
+    batch = 128
     n_samples = cfg.num_samples(321)  # 51,520 (3.22 s at 16 kHz)
 
     model = build_model("cnn2d")

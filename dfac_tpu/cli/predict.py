@@ -25,6 +25,12 @@ def parse_args(argv=None):
     p.add_argument("--in-features", type=int, default=180)
     p.add_argument("--dropout", type=float, default=0.3)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument(
+        "--fast", action="store_true",
+        help="cnn2d only: folded-BatchNorm transpose-free serving chain "
+        "(the bench.py path, ~1.3x model.apply; scores match to bf16/f32 "
+        "rounding — see models/fast_infer.py)",
+    )
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (0 = single device)")
     sig = p.add_mutually_exclusive_group()
@@ -36,6 +42,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.fast and args.model != "cnn2d":
+        raise SystemExit("--fast supports cnn2d checkpoints only")
+    if args.fast and args.data_parallel > 1:
+        raise SystemExit("--fast and --data-parallel are mutually exclusive")
     if args.device:
         import jax
 
@@ -64,11 +74,21 @@ def main(argv=None):
 
         mesh = make_mesh(n_data=args.data_parallel)
 
-    scores = predict_scores(
-        model, variables, ds,
-        batch_size=args.batch_size, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
-        mesh=mesh,
-    )
+    if args.fast:
+        from dfac_tpu.models.fast_infer import predict_scores_fast
+
+        scores = predict_scores_fast(
+            variables, ds,
+            batch_size=args.batch_size, swap_tf=args.swap_tf,
+            apply_sigmoid=args.apply_sigmoid,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+    else:
+        scores = predict_scores(
+            model, variables, ds,
+            batch_size=args.batch_size, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
+            mesh=mesh,
+        )
     if len(scores) != len(ds):
         raise ValueError("Number of predictions does not match number of rows in features.pkl")
     write_predictions(args.out, ds.uttids, scores)

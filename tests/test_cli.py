@@ -154,3 +154,47 @@ def test_train_cli_fused_fit(corpus_dir, tmp_path):
     assert result["best_eer"] is not None
     variables = load_model_variables(os.path.join(ck, "cnn1d_best.ckpt"))
     assert "params" in variables
+
+
+def test_predict_fast_matches_standard(corpus_dir, tmp_path):
+    """--fast (folded-BN transpose-free serving chain) produces the same
+    prediction.pkl as the standard model.apply path at f32 tolerance."""
+    from dfac_tpu.cli import predict as predict_cli
+    from dfac_tpu.cli import train as train_cli
+
+    ckdir = str(tmp_path / "ck2d")
+    train_cli.main([
+        "--train-features", str(corpus_dir / "train/features.pkl"),
+        "--train-labels", str(corpus_dir / "train/labels.pkl"),
+        "--dev-features", str(corpus_dir / "dev/features.pkl"),
+        "--dev-labels", str(corpus_dir / "dev/labels.pkl"),
+        "--model", "cnn2d", "--epochs", "1", "--batch-size", "8",
+        "--checkpoint-dir", ckdir, "--quiet",
+    ])
+    ckpt = os.path.join(ckdir, "cnn2d_best.ckpt")
+
+    outs = {}
+    for tag, extra in (("std", []), ("fast", ["--fast"])):
+        path = str(tmp_path / f"pred_{tag}.pkl")
+        predict_cli.main([
+            "--features", str(corpus_dir / "test/features.pkl"),
+            "--checkpoint", ckpt, "--model", "cnn2d", "--out", path,
+            "--batch-size", "8", *extra,
+        ])
+        outs[tag] = pd.read_pickle(path)
+
+    assert list(outs["fast"]["uttid"]) == list(outs["std"]["uttid"])
+    np.testing.assert_allclose(
+        outs["fast"]["predictions"], outs["std"]["predictions"], atol=2e-5
+    )
+
+
+def test_predict_fast_rejects_unsupported_combos(corpus_dir):
+    from dfac_tpu.cli import predict as predict_cli
+
+    with pytest.raises(SystemExit, match="cnn2d"):
+        predict_cli.main([
+            "--features", str(corpus_dir / "test/features.pkl"),
+            "--checkpoint", "nonexistent", "--model", "cnn1d",
+            "--out", "x.pkl", "--fast",
+        ])
