@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--ema-decay", type=float, default=0.999)
     p.add_argument("--patience", type=int, default=6)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--device-resident", action="store_true",
+                   help="corpus in HBM; each epoch runs as one scan program")
     return p.parse_args(argv)
 
 
@@ -65,6 +67,7 @@ def main(argv=None):
         freq_mask_max=args.freq_mask_max, freq_mask_n=args.freq_mask_n,
         ema=args.ema, ema_decay=args.ema_decay, patience=args.patience,
         seed=args.seed, compute_dtype="bfloat16" if args.bf16 else None,
+        device_resident=args.device_resident,
     )
 
     def split_paths(split):

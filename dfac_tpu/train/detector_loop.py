@@ -54,6 +54,7 @@ class DetectorConfig:
     patience: int = 6
     seed: int = 42
     compute_dtype: str | None = None
+    device_resident: bool = False  # corpus in HBM; epoch = one scan program
 
 
 class DetectorState(struct.PyTreeNode):
@@ -124,6 +125,55 @@ def make_detector_train_step(model, tx, cfg: DetectorConfig, pos_weight: float):
     return train_step
 
 
+def make_detector_epoch_scan(
+    model, tx, cfg: DetectorConfig, pos_weight: float, n_examples: int, batch_size: int
+):
+    """One jit program per detector epoch over a device-resident corpus.
+
+    The reference's class-balanced **weighted sampling with replacement**
+    (``src/dlqueen_model.py`` WeightedRandomSampler) stays on the host — the
+    per-epoch ``order`` index vector is the only upload — so the sampling
+    distribution and numpy determinism are identical to the host-fed path;
+    the gather + every train step run on device under ``lax.scan`` (mirrors
+    :func:`dfac_tpu.train.loop.make_epoch_scan`). The tail batch runs
+    true-size in the same program.
+    """
+    step = make_detector_train_step(model, tx, cfg, pos_weight)
+    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+    n_full = n_examples // batch_size
+    tail = n_examples % batch_size
+
+    @jax.jit
+    def epoch_scan(state: DetectorState, feats_all, lengths_all, labels_all, order):
+        idx_mat = order[: n_full * batch_size].reshape(n_full, batch_size)
+
+        def body(carry, idx):
+            st, loss_acc = carry
+            st, loss = base(
+                st,
+                jnp.take(feats_all, idx, axis=0),
+                jnp.take(lengths_all, idx, axis=0),
+                jnp.take(labels_all, idx, axis=0),
+            )
+            return (st, loss_acc + loss), None
+
+        (state_out, loss_sum), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), idx_mat
+        )
+        if tail:
+            idx = order[n_full * batch_size :]
+            state_out, tail_loss = base(
+                state_out,
+                jnp.take(feats_all, idx, axis=0),
+                jnp.take(lengths_all, idx, axis=0),
+                jnp.take(labels_all, idx, axis=0),
+            )
+            loss_sum = loss_sum + tail_loss
+        return state_out, loss_sum
+
+    return epoch_scan
+
+
 class DetectorTrainer:
     def __init__(self, cfg: DetectorConfig, in_channels: int = 180):
         self.cfg = cfg
@@ -185,26 +235,46 @@ class DetectorTrainer:
         train_step = make_detector_train_step(self.model, self.tx, cfg, pos_weight)
 
         n = len(train_ds)
-        best_eer, bad, history = 1.0, 0, []
+        n_batches_epoch = -(-n // cfg.batch_size)
+        epoch_scan = feats_d = lengths_d = labels_d = None
+        if cfg.device_resident:
+            epoch_scan = make_detector_epoch_scan(
+                self.model, self.tx, cfg, pos_weight, n, cfg.batch_size
+            )
+            feats_d = jnp.asarray(train_ds.features)  # one upload, reused every epoch
+            lengths_d = jnp.asarray(lengths)
+            labels_d = jnp.asarray(labels.astype(np.float32))
+
+        # inf, not 1.0: epoch 1 must always count as an improvement (and
+        # save the checkpoint) even in the degenerate dev_eer == 1.0 case
+        best_eer, bad, history = float("inf"), 0, []
         for epoch in range(1, cfg.epochs + 1):
             # weighted sampling WITH replacement, num_samples = N (reference)
             order = rng.choice(n, size=n, replace=True, p=sample_p)
-            total_loss, n_batches = jnp.zeros(()), 0
-            for start in range(0, n, cfg.batch_size):
-                # true-size tail batch (one extra compiled shape): fabricated
-                # pad rows would otherwise contribute gradients, the loss
-                # mean, and BatchNorm statistics — the reference's DataLoader
-                # batches contain only real rows (src/dlqueen_model.py)
-                idx = order[start : start + cfg.batch_size]
-                self.state, loss = train_step(
-                    self.state,
-                    jnp.asarray(train_ds.features[idx]),
-                    jnp.asarray(lengths[idx]),
-                    jnp.asarray(labels[idx].astype(np.float32)),
+            if cfg.device_resident:
+                self.state, total_loss = epoch_scan(
+                    self.state, feats_d, lengths_d, labels_d,
+                    jnp.asarray(order.astype(np.int32)),
                 )
-                total_loss = total_loss + loss  # lazy device accumulation
-                n_batches += 1
-            total_loss = float(total_loss)
+                total_loss, n_batches = float(total_loss), n_batches_epoch
+            else:
+                total_loss, n_batches = jnp.zeros(()), 0
+                for start in range(0, n, cfg.batch_size):
+                    # true-size tail batch (one extra compiled shape):
+                    # fabricated pad rows would otherwise contribute
+                    # gradients, the loss mean, and BatchNorm statistics —
+                    # the reference's DataLoader batches contain only real
+                    # rows (src/dlqueen_model.py)
+                    idx = order[start : start + cfg.batch_size]
+                    self.state, loss = train_step(
+                        self.state,
+                        jnp.asarray(train_ds.features[idx]),
+                        jnp.asarray(lengths[idx]),
+                        jnp.asarray(labels[idx].astype(np.float32)),
+                    )
+                    total_loss = total_loss + loss  # lazy device accumulation
+                    n_batches += 1
+                total_loss = float(total_loss)
 
             dev_scores = self.scores(dev_ds)
             dev_eer, _ = eer_device(dev_scores, dev_ds.labels)

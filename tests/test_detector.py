@@ -100,7 +100,8 @@ def test_detector_cli_roundtrip(rng, tmp_path):
 
     data_dir = tmp_path / "data"
     for split, n in (("train", 24), ("dev", 12), ("test2", 10)):
-        ds = _ds(np.random.default_rng(hash(split) % 2**31), n)
+        # stable per-split seed (hash() is randomized per process)
+        ds = _ds(np.random.default_rng(sum(map(ord, split))), n)
         d = data_dir / split
         d.mkdir(parents=True)
         pd.DataFrame({
@@ -122,3 +123,86 @@ def test_detector_cli_roundtrip(rng, tmp_path):
     df = pd.read_pickle(pred)
     assert len(df) == 10
     assert df["predictions"].between(0, 1).all()
+
+
+def test_detector_device_resident_matches_stepwise(rng):
+    """The one-dispatch detector epoch scan trains identically to the
+    host-fed stepwise loop: same host-sampled order, same key chain, same
+    true-size tail handling (N=13, bs=4)."""
+    import optax
+
+    from dfac_tpu.models import build_model
+    from dfac_tpu.train.detector_loop import (
+        DetectorConfig,
+        DetectorState,
+        make_detector_epoch_scan,
+        make_detector_train_step,
+    )
+    from dfac_tpu.utils.rng import train_key
+
+    n, bs, c, t = 13, 4, 12, 20
+    feats = rng.normal(size=(n, c, t)).astype(np.float32)
+    lengths = np.full(n, t, np.int32)
+    labels = (np.arange(n) % 2).astype(np.float32)
+    cfg = DetectorConfig(batch_size=bs, hidden=8, dropout=0.0, ema=True, grad_clip=5.0)
+    model = build_model("detector", in_channels=c, hidden=cfg.hidden, dropout=cfg.dropout)
+    # SGD for cross-compilation bit-parity (see test_tail_batches.py: Adam
+    # amplifies f32 noise in the zero-gradient conv biases feeding BN)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), optax.sgd(1e-2))
+
+    def fresh_state():
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+            jnp.zeros((1, t, c)),
+        )
+        return DetectorState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            ema_params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            key=train_key(7),
+        )
+
+    order = np.random.default_rng(3).choice(n, size=n, replace=True)
+
+    step = make_detector_train_step(model, tx, cfg, pos_weight=1.4)
+    st = fresh_state()
+    total = 0.0
+    for start in range(0, n, bs):
+        idx = order[start : start + bs]
+        st, loss = step(
+            st, jnp.asarray(feats[idx]), jnp.asarray(lengths[idx]), jnp.asarray(labels[idx])
+        )
+        total += float(loss)
+
+    scan = make_detector_epoch_scan(model, tx, cfg, pos_weight=1.4, n_examples=n, batch_size=bs)
+    s_scan, loss_scan = scan(
+        fresh_state(), jnp.asarray(feats), jnp.asarray(lengths), jnp.asarray(labels),
+        jnp.asarray(order.astype(np.int32)),
+    )
+    np.testing.assert_allclose(float(loss_scan), total, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_scan.params), jax.tree.leaves(st.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_scan.ema_params), jax.tree.leaves(st.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_scan.batch_stats), jax.tree.leaves(st.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_detector_trainer_device_resident_fit(rng):
+    """End-to-end resident fit converges and returns history like host-fed."""
+    from dfac_tpu.train.detector_loop import DetectorConfig, DetectorTrainer
+
+    n, c, t = 20, 12, 20
+    feats = rng.normal(size=(n, c, t)).astype(np.float32)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    feats[labels == 1, :4] += 2.0
+    ds = ArrayDataset([f"u{i}" for i in range(n)], feats, labels)
+    cfg = DetectorConfig(
+        epochs=2, batch_size=8, hidden=8, dropout=0.0, device_resident=True, seed=0
+    )
+    trainer = DetectorTrainer(cfg, in_channels=c)
+    result = trainer.fit(ds, ds)
+    assert len(result["history"]) == 2
+    assert np.isfinite(result["history"][-1]["train_loss"])
+    assert 0.0 <= result["best_eer"] <= 1.0
