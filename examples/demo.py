@@ -10,9 +10,21 @@ on device, writes a ``prediction.pkl``, and fuses with a CAE anomaly score.
     JAX_PLATFORMS=cpu python examples/demo.py
 """
 
+import os
+import sys
 import tempfile
 
+# runnable from a repo checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
 import numpy as np
+
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    # Some environments pre-register an accelerator plugin from
+    # sitecustomize and pin jax_platforms, which silently overrides the
+    # env var; re-assert the user's choice after import.
+    jax.config.update("jax_platforms", "cpu")
 
 from dfac_tpu.data.pipeline import ArrayDataset
 from dfac_tpu.ensemble.hybrid import fuse_scores, sweep_alpha
