@@ -5,11 +5,12 @@ on normalized (T=321, F=180) spectrograms. Encoder: 4x [Conv 3x3 SAME -> BN
 -> ReLU -> AvgPool 2x2 floor-mode], channels 1->32->64->128->256, spatial
 bottleneck 20x11 (floor-pool chain 321->160->80->40->20, 180->90->45->22->11).
 Decoder: 4x ConvTranspose k=2 s=2, channels 256->128->64->32->1, no final
-activation; per-stage F output_padding is computed from the encoder's
-shape trace (identical to the reference's hardcoded (0, 1) that recovers
-45 from 22 at F=180, but valid for any geometry). Decoder emits T=320;
-the output is zero-padded back to T=321 (reference
-``src/model_cae.py:113-121``).
+activation; per-stage output_padding is computed from the encoder's shape
+trace (identical to the reference's hardcoded (0, 1) that recovers 45
+from 22 at F=180, but valid for any geometry; the output stage's T pad
+stays 0 so the reference's emit-T=320-then-zero-pad-to-321 semantics are
+preserved exactly, and the padded deficit is at most T's parity
+everywhere — reference ``src/model_cae.py:113-121``).
 
 Returns ``(reconstruction (B,T,F), latent (B,20,11,256) NHWC)``.
 """
@@ -44,30 +45,37 @@ class ConvAutoencoder(nn.Module):
             )
         h = x[..., None].astype(dt or x.dtype)  # (B, T, F, 1)
 
-        # Encoder. Track the pre-pool F size at each stage: the decoder's
-        # output_padding is computed from this trace (pre - 2*post per
-        # stage), which reproduces the reference's hardcoded (0, 1) on
-        # block 3 at F=180 (45 = 2*22 + 1, ``src/model_cae.py:68-69``) and
-        # generalizes to any input geometry. The T axis intentionally does
-        # NOT get output_padding: the reference emits T=320 and pads back
-        # to 321 (``:113-121``), and we preserve that numeric behavior.
-        f_sizes = []
+        # Encoder. Track the pre-pool (T, F) sizes at each stage: the
+        # decoder's output_padding is computed from this trace (pre -
+        # 2*post per stage), which reproduces the reference's hardcoded
+        # (0, 1) on block 3 at F=180 (45 = 2*22 + 1,
+        # ``src/model_cae.py:68-69``) and generalizes to any geometry.
+        t_sizes, f_sizes = [], []
         for i, ch in enumerate((bc, bc * 2, bc * 4, bc * 8)):
             h = Conv(ch, (3, 3), dtype=dt, name=f"enc_conv{i + 1}")(h)
             h = TorchBatchNorm(axis_name=self.axis_name, dtype=dt, name=f"enc_bn{i + 1}")(
                 h, use_running_average=not train
             )
             h = nn.relu(h)
+            t_sizes.append(h.shape[1])
             f_sizes.append(h.shape[2])
             h = avg_pool(h, (2, 2))
         latent = h  # (B, 20, 11, 256) at the production geometry
 
-        # Decoder: invert the pools in reverse stage order.
+        # Decoder: invert the pools in reverse stage order. F uses the
+        # shape trace on every stage. T uses the trace on the first three
+        # decoder stages but NOT the output stage: the reference emits
+        # T = 320 and zero-pads back to 321 (``src/model_cae.py:113-121``),
+        # and stage-1 T output_padding would replace that zero frame with a
+        # conv output. With the inner stages traced, the residual deficit
+        # is at most the parity of T for every geometry (it was up to 15
+        # frames of forced zeros before, e.g. 16 of 30 at T=30).
         f_pads = [f_sizes[k] - 2 * (f_sizes[k] // 2) for k in (3, 2, 1, 0)]
+        t_pads = [t_sizes[k] - 2 * (t_sizes[k] // 2) for k in (3, 2, 1)] + [0]
         dec_specs = [
-            (bc * 4, (0, f_pads[0]), True),
-            (bc * 2, (0, f_pads[1]), True),
-            (bc, (0, f_pads[2]), True),
+            (bc * 4, (t_pads[0], f_pads[0]), True),
+            (bc * 2, (t_pads[1], f_pads[1]), True),
+            (bc, (t_pads[2], f_pads[2]), True),
             (1, (0, f_pads[3]), False),  # no BN / activation on the last block
         ]
         for i, (ch, out_pad, bn) in enumerate(dec_specs):

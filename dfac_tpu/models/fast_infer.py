@@ -52,7 +52,10 @@ def _depthwise_avg_pool(h: jax.Array, window: tuple[int, int]) -> jax.Array:
         h, taps, window, "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-    )
+        # explicit, so the f32 accumulation promised above holds on every
+        # backend, not just the TPU MXU (free there — same accumulator)
+        preferred_element_type=jnp.float32,
+    ).astype(h.dtype)
 
 
 def fold_cnn2d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
@@ -123,30 +126,24 @@ def predict_scores_fast(
 
     The fast counterpart of
     :func:`dfac_tpu.train.evaluate.predict_scores` for CNN2D checkpoints
-    (the production serving path used by ``bench.py``; ~24.5k utt/s on one
-    v5e at B=512 measured end-to-end with the LFCC front-end). ``swap_tf``
+    (the production serving path used by ``bench.py``; ~28.6k utt/s on one
+    v5e at the B=128 sweet spot measured end-to-end with the LFCC
+    front-end — see ``results/v5e_measurements.md``). ``swap_tf``
     mirrors the reference predict CLI semantics (``src/predict.py:100-111``):
     True means features are stored (F, T) and the model sees the transposed
     grid — here realized transpose-free via the swapped-kernel formulation.
     """
-    import numpy as np
-
-    from dfac_tpu.data.pipeline import batch_iterator
+    from dfac_tpu.train.evaluate import collect_masked_scores
 
     folded = fold_cnn2d(variables)
     score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
-    chunks, masks = [], []
-    for batch in batch_iterator(ds, batch_size):
-        s = score(
+    return collect_masked_scores(
+        lambda batch: score(
             folded, jnp.asarray(batch.features),
             apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
-        )
-        chunks.append(s)
-        masks.append(batch.weights > 0)
-    if not chunks:
-        return np.zeros((0,), np.float32)
-    flat = np.asarray(jnp.concatenate(chunks))
-    return flat[np.concatenate(masks)]
+        ),
+        ds, batch_size,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("apply_sigmoid", "compute_dtype"))

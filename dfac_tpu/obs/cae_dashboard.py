@@ -26,10 +26,9 @@ ROLLING_ROWS = 20
 
 
 class _LiveBatchContext(BatchContext):
-    def __init__(self, progress, task_id, live):
+    def __init__(self, progress, task_id):
         self.progress = progress
         self.task_id = task_id
-        self.live = live
 
     def update_batch(self, metrics: BatchMetrics) -> None:
         self.progress.update(
@@ -136,7 +135,7 @@ class CAEDashboard(TrainingVisualizer):
     def on_epoch_start(self, epoch: int, num_batches: int) -> Iterator[BatchContext]:
         task = self._batch_progress.add_task("  [cyan]Train[/]", total=num_batches)
         try:
-            yield _LiveBatchContext(self._batch_progress, task, self._live)
+            yield _LiveBatchContext(self._batch_progress, task)
         finally:
             self._batch_progress.remove_task(task)
 

@@ -198,10 +198,20 @@ def _write_plots(output_dir, epoch_rows, ranking_rows):
     fig.savefig(os.path.join(output_dir, "model_ranking.png"), dpi=120)
     plt.close(fig)
 
-    # per-model mean±std curves + combined EER plot
+    # One aggregation pass per model feeds every curve artifact: the
+    # 3-panel all-model figure, the per-model curve files, and the combined
+    # losses plot (the latter two are artifact-file parity with the
+    # reference harness, src/benchmark.py:551-605 plots/{model}_curves.png
+    # and :672-704 plots/combined_losses.png).
+    plots_dir = os.path.join(output_dir, "plots")
+    os.makedirs(plots_dir, exist_ok=True)
     fig2, axes = plt.subplots(1, 3, figsize=(14, 4))
+    combined_fig, combined_ax = plt.subplots(figsize=(10, 6))
     for model, group in edf.groupby("model"):
         agg = group[["epoch", "train_loss", "dev_loss", "dev_eer"]].groupby("epoch").agg(["mean", "std"])
+        epochs = agg.index
+
+        # all-model 3-panel curves
         for ax, col, title in (
             (axes[0], "train_loss", "train loss"),
             (axes[1], "dev_loss", "dev loss"),
@@ -209,24 +219,12 @@ def _write_plots(output_dir, epoch_rows, ranking_rows):
         ):
             mean = agg[(col, "mean")]
             std = agg[(col, "std")].fillna(0)
-            ax.plot(mean.index, mean, label=model)
-            ax.fill_between(mean.index, mean - std, mean + std, alpha=0.2)
+            ax.plot(epochs, mean, label=model)
+            ax.fill_between(epochs, mean - std, mean + std, alpha=0.2)
             ax.set_title(title)
             ax.set_xlabel("epoch")
-    axes[0].legend(fontsize=7)
-    fig2.tight_layout()
-    fig2.savefig(os.path.join(output_dir, "training_curves.png"), dpi=120)
-    plt.close(fig2)
 
-    # Per-model curve files + combined losses plot — artifact-file parity
-    # with the reference harness (src/benchmark.py:551-605 per-model
-    # plots/{model}_curves.png; :672-704 plots/combined_losses.png).
-    plots_dir = os.path.join(output_dir, "plots")
-    os.makedirs(plots_dir, exist_ok=True)
-    combined_fig, combined_ax = plt.subplots(figsize=(10, 6))
-    for model, group in edf.groupby("model"):
-        agg = group[["epoch", "train_loss", "dev_loss", "dev_eer"]].groupby("epoch").agg(["mean", "std"])
-        epochs = agg.index
+        # per-model curve file
         fig3, (ax_loss, ax_eer) = plt.subplots(2, 1, figsize=(10, 6))
         for col, label, color in (
             ("train_loss", "train loss", "#4c78a8"),
@@ -248,8 +246,15 @@ def _write_plots(output_dir, epoch_rows, ranking_rows):
         fig3.savefig(os.path.join(plots_dir, f"{model}_curves.png"), dpi=120)
         plt.close(fig3)
 
+        # combined losses plot
         combined_ax.plot(epochs, agg[("train_loss", "mean")], label=f"{model} train")
         combined_ax.plot(epochs, agg[("dev_loss", "mean")], linestyle="--", label=f"{model} dev")
+
+    axes[0].legend(fontsize=7)
+    fig2.tight_layout()
+    fig2.savefig(os.path.join(output_dir, "training_curves.png"), dpi=120)
+    plt.close(fig2)
+
     combined_ax.set_xlabel("epoch")
     combined_ax.set_ylabel("loss")
     combined_ax.set_title("train vs dev loss (all models)")

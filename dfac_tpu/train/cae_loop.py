@@ -95,6 +95,22 @@ def make_cae_train_step(model, tx, mean, std):
     return train_step
 
 
+def make_cae_indexed_step(model, tx, mean, std):
+    """Device-resident per-batch variant: the corpus lives in HBM and each
+    step receives only an int32 index vector (mirrors
+    :func:`dfac_tpu.train.loop.make_indexed_train_step`). Used when a live
+    batch UI needs per-step updates but the corpus should stay resident."""
+    step = make_cae_train_step(model, tx, mean, std)
+    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+
+    @jax.jit
+    def indexed_step(state: TrainState, feats_all, idx, weights):
+        feats = jnp.take(feats_all, idx, axis=0)
+        return base(state, feats, weights)
+
+    return indexed_step
+
+
 def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int):
     """One jit program per CAE epoch over a device-resident bonafide corpus
     (device-side shuffle, no per-epoch host transfers; mirrors
@@ -275,6 +291,7 @@ class CAETrainer:
                 self.model, self.tx, mean, std,
                 n_examples=len(bona_train), batch_size=cfg.batch_size,
             )
+            self._indexed_step = make_cae_indexed_step(self.model, self.tx, mean, std)
 
         for epoch in range(1, cfg.epochs + 1):
             t0 = time.perf_counter()
@@ -289,6 +306,25 @@ class CAETrainer:
                     self.state, total, count = epoch_scan(
                         self.state, feats_resident, np.int64(cfg.seed * 100003 + epoch)
                     )
+                elif cfg.device_resident:
+                    # live UI wants per-batch updates: per-batch dispatch,
+                    # but the corpus stays resident and each step gathers
+                    # its batch on device via an int32 index vector only
+                    # (mirrors loop.py's resident+live path).
+                    n_ex = len(bona_train)
+                    order = np.arange(n_ex)
+                    np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
+                    for i, start in enumerate(range(0, n_ex, cfg.batch_size)):
+                        idx = order[start : start + cfg.batch_size]
+                        self.state, loss_sum, n = self._indexed_step(
+                            self.state, feats_resident,
+                            jnp.asarray(idx.astype(np.int32)),
+                            jnp.ones(len(idx), jnp.float32),
+                        )
+                        total = total + loss_sum
+                        count = count + n
+                        if float(count):
+                            batch_ctx.update_batch(BatchMetrics(i, float(total) / float(count), int(n)))
                 else:
                     for i, batch in enumerate(
                         batch_iterator(bona_train, cfg.batch_size, shuffle=True,

@@ -11,7 +11,7 @@ host for float64 exactness.
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,21 @@ def _eval_step(model, variables, feats, labels, weights, swap_tf, apply_sigmoid,
     loss_sum = jnp.sum(per * weights)
     scores = jax.nn.sigmoid(logits) if apply_sigmoid else logits
     return scores, loss_sum
+
+
+def collect_masked_scores(score_batch: Callable, ds: ArrayDataset, batch_size: int) -> np.ndarray:
+    """Run ``score_batch(batch) -> (B,) device scores`` over every padded
+    batch, keep results on device, then do ONE host fetch and drop the
+    pad rows. The shared batching/tail-mask contract of every corpus
+    scorer (a host round trip per batch dominates on remote accelerators)."""
+    chunks, masks = [], []
+    for batch in batch_iterator(ds, batch_size):
+        chunks.append(score_batch(batch))
+        masks.append(batch.weights > 0)
+    if not chunks:
+        return np.zeros((0,), np.float32)
+    flat = np.asarray(jnp.concatenate(chunks))
+    return flat[np.concatenate(masks)]
 
 
 def predict_scores(
@@ -66,18 +81,14 @@ def predict_scores(
         arr = jnp.asarray(x)
         return jax.device_put(arr, shard) if shard is not None else arr
 
-    chunks, masks = [], []
-    for batch in batch_iterator(ds, batch_size):
+    def score_batch(batch):
         scores, _ = _eval_step(
             model, variables, put(batch.features), put(batch.labels),
             put(batch.weights), swap_tf, apply_sigmoid, 0.0,
         )
-        chunks.append(scores)
-        masks.append(batch.weights > 0)
-    if not chunks:
-        return np.zeros((0,), np.float32)
-    flat = np.asarray(jnp.concatenate(chunks))
-    return flat[np.concatenate(masks)]
+        return scores
+
+    return collect_masked_scores(score_batch, ds, batch_size)
 
 
 def make_resident_evaluator(

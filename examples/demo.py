@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+if os.environ.get("JAX_PLATFORMS") == "cpu":
     # Some environments pre-register an accelerator plugin from
     # sitecustomize and pin jax_platforms, which silently overrides the
     # env var; re-assert the user's choice after import.

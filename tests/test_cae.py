@@ -113,12 +113,20 @@ def test_cae_generalized_geometry():
     from dfac_tpu.models.cae import ConvAutoencoder
 
     m = ConvAutoencoder(base_channels=2)
-    for t, f in ((49, 36), (321, 180), (16, 17), (33, 100)):
-        x = jnp.zeros((2, t, f))
+    for t, f in ((49, 36), (321, 180), (16, 17), (33, 100), (50, 36), (30, 100)):
+        x = jnp.ones((2, t, f))
         variables = m.init(jax.random.PRNGKey(0), x, train=True)
         recon, latent = m.apply(variables, x, train=False)
         assert recon.shape == (2, t, f), (t, f, recon.shape)
         assert all(d >= 1 for d in latent.shape), (t, f, latent.shape)
+        # the inner decoder stages carry trace-derived T output_padding, so
+        # at most T's parity (the reference's emit-320-pad-to-321 frame)
+        # can be forced to zero — never a multi-frame zero tail
+        zero_tail = 0
+        r = np.asarray(recon[0])
+        while zero_tail < t and np.all(r[t - 1 - zero_tail] == 0.0):
+            zero_tail += 1
+        assert zero_tail <= t % 2, (t, f, zero_tail)
 
     with pytest.raises(ValueError, match="floor-pool"):
         m.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 12)), train=True)

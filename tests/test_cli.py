@@ -198,3 +198,9 @@ def test_predict_fast_rejects_unsupported_combos(corpus_dir):
             "--checkpoint", "nonexistent", "--model", "cnn1d",
             "--out", "x.pkl", "--fast",
         ])
+    with pytest.raises(SystemExit, match="data-parallel"):
+        predict_cli.main([
+            "--features", str(corpus_dir / "test/features.pkl"),
+            "--checkpoint", "nonexistent", "--model", "cnn2d",
+            "--out", "x.pkl", "--fast", "--data-parallel", "4",
+        ])

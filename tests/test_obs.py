@@ -88,10 +88,13 @@ def test_cae_dashboard_factory_kinds():
         create_cae_visualizer("bogus")
 
 
-@pytest.mark.parametrize("kind", ["rich", "plain"])
-def test_cae_training_with_dashboard(kind, capsys):
+@pytest.mark.parametrize("kind,resident", [("rich", False), ("plain", False), ("rich", True)])
+def test_cae_training_with_dashboard(kind, resident, capsys):
     """CAE fit drives the dedicated dashboard end to end; the rolling table /
-    per-epoch lines render without crashing and stay display-only."""
+    per-epoch lines render without crashing and stay display-only. With
+    --device-resident, the live batch bar must not silently defeat the
+    resident corpus: the per-batch path gathers on device via the indexed
+    step (cae_loop.make_cae_indexed_step)."""
     from dfac_tpu.obs.cae_dashboard import create_cae_visualizer
     from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
 
@@ -101,9 +104,13 @@ def test_cae_training_with_dashboard(kind, capsys):
     feats = rng.normal(size=(n, f, t)).astype(np.float32)
     ds = ArrayDataset([f"u{i}" for i in range(n)], feats, labels)
 
-    cfg = CAEConfig(batch_size=4, epochs=2, base_channels=2, early_stop=5)
+    cfg = CAEConfig(
+        batch_size=4, epochs=2, base_channels=2, early_stop=5,
+        device_resident=resident,
+    )
     trainer = CAETrainer(cfg, visualizer=create_cae_visualizer(kind))
-    trainer.fit(ds, ds)
+    result = trainer.fit(ds, ds)
+    assert np.isfinite(result["best_val_mse"])
     out = capsys.readouterr().out
     if kind == "plain":
         assert "train_mse=" in out and "val_mse=" in out
