@@ -175,23 +175,31 @@ def main(argv=None):
                     "lr": trainer._lr,
                 }
                 sched_state = trainer.scheduler.state_dict() if trainer.scheduler else None
+                save = (
+                    ckpt_lib.save_checkpoint_orbax
+                    if trainer.cfg.checkpoint_format == "orbax"
+                    else ckpt_lib.save_checkpoint
+                )
                 new_best = any(m.is_best for m in result["history"])
                 if new_best:  # never clobber a resumed run's better best ckpt
-                    ckpt_lib.save_checkpoint(
+                    save(
                         os.path.join(checkpoint_root, f"{args.model}_best.ckpt"),
                         trainer.best_variables(),
                         opt_state=trainer.state.opt_state,
                         epoch=result["best_epoch"],
                         config=config, scheduler_state=sched_state,
                     )
-                last_epoch = result["history"][-1].epoch if result["history"] else 0
-                ckpt_lib.save_checkpoint(
-                    os.path.join(checkpoint_root, f"{args.model}_last.ckpt"),
-                    trainer.variables(),
-                    opt_state=trainer.state.opt_state,
-                    epoch=last_epoch,
-                    config=config, scheduler_state=sched_state,
-                )
+                if result["history"]:
+                    # a resume that had nothing left to train (start epoch
+                    # past --epochs) must not rewrite the resume point with
+                    # an epoch-0 checkpoint
+                    save(
+                        os.path.join(checkpoint_root, f"{args.model}_last.ckpt"),
+                        trainer.variables(),
+                        opt_state=trainer.state.opt_state,
+                        epoch=result["history"][-1].epoch,
+                        config=config, scheduler_state=sched_state,
+                    )
         else:
             result = trainer.fit(
                 train_ds, dev_ds, checkpoint_dir=checkpoint_root,

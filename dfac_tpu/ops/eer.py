@@ -171,7 +171,11 @@ def eer_device(scores, labels) -> tuple[float, float]:
     larger than :data:`INT32_EXACT_MAX_N` route to the host float64 algorithm
     where the device's int32 crossing products could overflow.
     """
-    if np.asarray(scores).size > INT32_EXACT_MAX_N:
+    # size check from metadata only — np.asarray on a device array would
+    # synchronously pull the whole array to host even when the device path
+    # is then taken (a wasted full-array round trip on a remote accelerator)
+    n = int(np.prod(np.shape(scores))) if np.shape(scores) else np.size(scores)
+    if n > INT32_EXACT_MAX_N:
         return calculate_eer(np.asarray(scores), np.asarray(labels))
     far_num, frr_num, ns, nb, threshold = jax.device_get(
         eer_counts_jax(jnp.asarray(scores), jnp.asarray(labels))

@@ -88,10 +88,17 @@ def make_fused_fit(
                 ev_vars, df, dl, didx, dw
             )
             dev_loss = dev_loss_sum / n_dev
-            # integer EER numerator: eer = num / (2*ns*nb); denominators are
-            # epoch-invariant so ordering/ties compare exactly in ints
-            num = (fa * nb + fr * ns).astype(jnp.float32)
-            denom2 = (2 * ns * nb).astype(jnp.float32)
+            # EER numerator: eer = num / (2*ns*nb). The products are formed
+            # in f32, NOT int32 — at the guard's max split (ns*nb < 2^31)
+            # fa*nb + fr*ns reaches ~2^33 and 2*ns*nb reaches 2^32, both of
+            # which would silently wrap in int32. f32 rounding error on the
+            # products (<= 2^-24 relative) is orders of magnitude inside the
+            # eer_tie_eps (1e-4) tie band, so best/tie ordering semantics
+            # are unaffected at every size the n_dev guard admits.
+            fa_f, fr_f = fa.astype(jnp.float32), fr.astype(jnp.float32)
+            ns_f, nb_f = ns.astype(jnp.float32), nb.astype(jnp.float32)
+            num = fa_f * nb_f + fr_f * ns_f
+            denom2 = 2.0 * ns_f * nb_f
             eer = num / denom2
 
             first = best_num < 0
@@ -257,8 +264,6 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
         trainer.state, feats_all, labels_all, df, dl, didx, dw
     )
     trainer.state = final_state
-    trainer._best_params = best_vars["params"]
-    trainer._best_batch_stats = best_vars["batch_stats"]
 
     (train_loss, dev_loss, fa, fr, thr, lr, is_best, stopped) = jax.device_get(history)
     aux = jax.device_get(aux)
@@ -291,6 +296,17 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
         trainer.scheduler.best = None if np.isinf(sb) else sb
         trainer.scheduler.num_bad_epochs = int(aux["sched_bad"])
 
+    # best_vars starts as a copy of the (possibly resumed) initial state and
+    # is only overwritten when an epoch of THIS run becomes best. If no
+    # epoch did (a resumed run that never improved), labeling the carried
+    # snapshot "best" would pair the prior run's best EER with this run's
+    # last-epoch weights — leave the trainer's best snapshot unset instead
+    # (the on-disk best checkpoint from the earlier run is still the best).
+    new_best = any(m.is_best for m in out_history)
+    if new_best:
+        trainer._best_params = best_vars["params"]
+        trainer._best_batch_stats = best_vars["batch_stats"]
+
     best_num = float(aux["best_num"])
     have_best = best_num >= 0 and ns > 0 and nb > 0
     return {
@@ -300,7 +316,8 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
         "best_epoch": int(aux["best_epoch"]) if have_best else None,
         "epochs_no_improve": int(aux["no_improve"]),
         "history": out_history,
-        "best_variables": {
-            "params": best_vars["params"], "batch_stats": best_vars["batch_stats"]
-        },
+        "best_variables": (
+            {"params": best_vars["params"], "batch_stats": best_vars["batch_stats"]}
+            if new_best else None
+        ),
     }

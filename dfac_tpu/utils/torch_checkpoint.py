@@ -100,7 +100,17 @@ def _resolve_lazy(obj: Any) -> Any:
         return obj.resolve()
     if isinstance(obj, dict):
         return type(obj)((k, _resolve_lazy(v)) for k, v in obj.items())
-    if isinstance(obj, (list, tuple)):
+    if isinstance(obj, tuple):
+        resolved = [_resolve_lazy(v) for v in obj]
+        if type(obj) is tuple:
+            return tuple(resolved)
+        # tuple subclasses (namedtuples in checkpoint config records) take
+        # positional fields, not a single iterable
+        try:
+            return type(obj)(*resolved)
+        except TypeError:
+            return tuple(resolved)
+    if isinstance(obj, list):
         return type(obj)(_resolve_lazy(v) for v in obj)
     return obj
 

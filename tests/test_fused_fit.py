@@ -149,3 +149,55 @@ def test_fused_fit_best_params_snapshot():
 
     metrics, _, _ = evaluate_classifier(trainer.model, best, dev_ds, batch_size=16)
     assert metrics["eer"] == pytest.approx(got["best_eer"], abs=1e-9)
+
+
+def test_fused_resume_already_complete_is_noop(tmp_path):
+    """Resuming a fused run whose checkpoint epoch already reached --epochs
+    trains zero epochs and must NOT report any best/history artifacts that
+    a caller would use to clobber the resume point (the CLI skips both
+    checkpoint writes when history is empty)."""
+    import os
+
+    from dfac_tpu.cli import train as train_cli
+    from dfac_tpu.train.checkpoint import load_checkpoint
+
+    train_ds, dev_ds = _ds(10), _ds(11, n=22)
+    cfg = _cfg(epochs=2)
+    t1 = Trainer(cfg)
+    r1 = t1.fit_fused(train_ds, dev_ds)
+    ckpt = str(tmp_path / "done.ckpt")
+    t1._save(ckpt, epoch=r1["history"][-1].epoch, config_snapshot=None,
+             trainer_state={"best_eer": r1["best_eer"],
+                            "best_train_loss": r1["best_train_loss"],
+                            "best_dev_loss": r1["best_dev_loss"],
+                            "epochs_no_improve": r1["epochs_no_improve"],
+                            "lr": t1._lr})
+
+    t2 = Trainer(cfg)  # same epochs target: nothing left to train
+    r2 = t2.fit_fused(train_ds, dev_ds, resume_from=ckpt)
+    assert r2["history"] == []
+    assert r2["best_variables"] is None
+    # no new best: trainer must not label the carried last-epoch weights best
+    assert getattr(t2, "_best_params", None) is None
+
+
+def test_fused_resume_no_improvement_keeps_best_unset(tmp_path):
+    """A resumed fused run where no epoch improves must not pair the prior
+    run's best EER with this run's last-epoch weights."""
+    train_ds, dev_ds = _ds(12), _ds(13, n=22)
+    t1 = Trainer(_cfg(epochs=3))
+    r1 = t1.fit_fused(train_ds, dev_ds)
+    ckpt = str(tmp_path / "r1.ckpt")
+    t1._save(ckpt, epoch=3, config_snapshot=None,
+             trainer_state={"best_eer": r1["best_eer"],
+                            "best_train_loss": r1["best_train_loss"],
+                            "best_dev_loss": r1["best_dev_loss"],
+                            "epochs_no_improve": 3,  # pretend already plateaued
+                            "lr": 0.0})
+
+    # lr=0: the resumed epochs cannot improve anything
+    t2 = Trainer(_cfg(epochs=5, lr=0.0))
+    r2 = t2.fit_fused(train_ds, dev_ds, resume_from=ckpt)
+    if not any(m.is_best for m in r2["history"]):
+        assert r2["best_variables"] is None
+        assert getattr(t2, "_best_params", None) is None
