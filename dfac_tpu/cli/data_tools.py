@@ -137,6 +137,16 @@ def main(argv=None):
     t.add_argument("path")
     t.add_argument("--threshold", type=float, default=0.5)
 
+    v = sub.add_parser(
+        "convert-to-npy",
+        help="convert features.pkl (+labels.pkl) to a memory-mapped .npy "
+        "store directory; every CLI then accepts the directory in place of "
+        "the pickle and streams batches with O(batch) resident memory",
+    )
+    v.add_argument("features")
+    v.add_argument("out_dir")
+    v.add_argument("--labels", default=None)
+
     args = p.parse_args(argv)
     if args.cmd == "analyze-pickles":
         _cmd_analyze(args.paths)
@@ -146,6 +156,16 @@ def main(argv=None):
         _cmd_score_distributions(args.paths)
     elif args.cmd == "submission-stats":
         _cmd_submission_stats(args.path, args.threshold)
+    elif args.cmd == "convert-to-npy":
+        from dfac_tpu.data.pipeline import load_dataset
+        from dfac_tpu.io.npy_store import save_npy_dataset
+
+        ds = load_dataset(args.features, args.labels)
+        save_npy_dataset(ds, args.out_dir)
+        print(
+            f"wrote {len(ds)} utterances "
+            f"({'labeled' if ds.labels is not None else 'unlabeled'}) -> {args.out_dir}"
+        )
 
 
 if __name__ == "__main__":

@@ -55,9 +55,18 @@ class ArrayDataset:
 def load_dataset(features_path: str, labels_path: str | None = None) -> ArrayDataset:
     """Load features (+ optionally labels inner-merged on uttid, strict).
 
+    ``features_path`` may be a reference-contract ``features.pkl`` or a
+    converted memory-mapped ``.npy`` store directory
+    (:mod:`dfac_tpu.io.npy_store`) — the latter streams batches with
+    O(batch) resident memory for corpora too large for host RAM.
+
     Variable-length corpora come back padded with ``lengths`` populated, so
     masked pooling (the detector's StatsPool) sees the true frame counts.
     """
+    from dfac_tpu.io.npy_store import is_npy_store, load_npy_dataset
+
+    if is_npy_store(features_path):
+        return load_npy_dataset(features_path, labels_path)
     uttids, feats, lengths = load_features(features_path, return_lengths=True)
     labels = None
     if labels_path is not None:
