@@ -38,7 +38,12 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Extract LFCC+delta+delta-delta features on TPU.")
     p.add_argument("--audio", required=True,
                    help="directory of .npy/.wav files, or a single .npz archive {uttid: waveform}")
-    p.add_argument("--out", required=True, help="output features.pkl path")
+    p.add_argument("--out", required=True,
+                   help="output features.pkl path, or a directory when --format npy")
+    p.add_argument("--format", default="pkl", choices=["pkl", "npy"],
+                   help="pkl = reference-contract features.pkl; npy = "
+                   "memory-mapped corpus store directory (io/npy_store.py), "
+                   "skipping the pickle bottleneck at scale")
     p.add_argument("--frames", type=int, default=321,
                    help="frames per utterance; waveforms are cropped/zero-padded to match")
     p.add_argument("--batch-size", type=int, default=64)
@@ -84,7 +89,13 @@ def main(argv=None):
         fixed, cfg, batch_size=args.batch_size,
         method="fft" if args.no_pallas else args.method,
     )
-    write_features(args.out, uttids, feats, tensor_format=args.tensor_format)
+    if args.format == "npy":
+        from dfac_tpu.data.pipeline import ArrayDataset
+        from dfac_tpu.io.npy_store import save_npy_dataset
+
+        save_npy_dataset(ArrayDataset(uttids=uttids, features=feats), args.out)
+    else:
+        write_features(args.out, uttids, feats, tensor_format=args.tensor_format)
     print(f"wrote {len(uttids)} x {feats.shape[1]}x{feats.shape[2]} features to {args.out}")
 
 

@@ -151,3 +151,30 @@ def test_extract_features_cli(tmp_path):
     assert uttids == ["utt0", "utt1", "utt2"]
     assert feats.shape == (3, 180, 33)
     assert np.isfinite(feats).all()
+
+
+def test_extract_features_cli_npy_store(tmp_path):
+    """--format npy writes a memory-mapped store that load_dataset streams,
+    with features identical to the pkl output."""
+    from dfac_tpu.cli import extract_features
+    from dfac_tpu.data.pipeline import load_dataset
+    from dfac_tpu.features.lfcc import LFCCConfig
+    from dfac_tpu.io.npy_store import is_npy_store
+
+    cfg = LFCCConfig()
+    rng = np.random.default_rng(1)
+    archive = {f"utt{i}": rng.normal(size=cfg.num_samples(33)).astype(np.float32) for i in range(3)}
+    npz = str(tmp_path / "waves.npz")
+    np.savez(npz, **archive)
+
+    pkl_out = str(tmp_path / "features.pkl")
+    store_out = str(tmp_path / "store")
+    common = ["--audio", npz, "--frames", "33", "--no-pallas", "--tensor-format", "numpy"]
+    extract_features.main(common + ["--out", pkl_out])
+    extract_features.main(common + ["--out", store_out, "--format", "npy"])
+
+    assert is_npy_store(store_out)
+    from_pkl = load_dataset(pkl_out)
+    from_store = load_dataset(store_out)
+    assert from_store.uttids == from_pkl.uttids
+    np.testing.assert_array_equal(np.asarray(from_store.features), from_pkl.features)
