@@ -53,3 +53,56 @@ def make_sharded_e2e_scorer(
             out_specs=P(axis_name),
         )
     )
+
+
+def make_sharded_corpus_scorer(
+    model: Any,
+    mesh: Mesh,
+    cfg: LFCCConfig = LFCCConfig(),
+    frontend: str = "gemm",
+    apply_sigmoid: bool = True,
+    axis_name: str = "data",
+):
+    """Whole-corpus scoring as ONE dispatch over the mesh.
+
+    Input: pre-batched waveforms ``(n_batches, B, n_samples)``; each shard
+    runs a ``lax.scan`` over its slice of every batch, so the entire corpus
+    is a single jit program — no per-batch host dispatch — sharded over
+     ``axis_name``. Returns ``(n_batches * B,)`` scores in corpus order.
+    Combines the two measured wins of the single-chip bench (scan over
+    batches: +6% through a remote relay) and the DP serving path (linear
+    scaling over ICI; scores are embarrassingly parallel, no collectives).
+    B must divide by the mesh's ``axis_name`` size.
+    """
+
+    def per_shard(variables, corpus3d):
+        # corpus3d: (n_batches, B/shards, n_samples) — the batch axis is
+        # the sharded one so every scan step is a full local batch
+        def body(_, waves):
+            if frontend == "gemm":
+                from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features
+
+                feats = gemm_lfcc_features(waves, cfg)
+            else:
+                feats = lfcc_features(waves, cfg, use_pallas=False)
+            x = jnp.transpose(feats, (0, 2, 1))
+            out = model.apply(variables, x)
+            logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
+            return None, jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+        _, scores = jax.lax.scan(body, None, corpus3d)
+        return scores  # (n_batches, B/shards)
+
+    sharded = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis_name)),
+            out_specs=P(None, axis_name),
+        )
+    )
+
+    def score(variables, corpus3d):
+        return sharded(variables, corpus3d).reshape(-1)
+
+    return score

@@ -184,3 +184,30 @@ def test_sharded_e2e_scorer_matches_single(rng, eight_devices):
     scorer = make_sharded_e2e_scorer(model, mesh, cfg, frontend="fft")
     got = scorer(variables, waves)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_corpus_scorer_one_dispatch(rng, eight_devices):
+    """Whole-corpus scan+shard_map scorer == single-device per-batch scoring
+    (3 batches of 16 over 8 devices, corpus order preserved)."""
+    from dfac_tpu.features.lfcc import LFCCConfig, lfcc_features
+    from dfac_tpu.parallel.serving import make_sharded_corpus_scorer
+
+    cfg = LFCCConfig()
+    n_batches, b = 3, 16
+    corpus = jnp.asarray(
+        rng.normal(size=(n_batches, b, cfg.num_samples(17))).astype(np.float32)
+    )
+    model = build_model("cnn2d", base_channels=4)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 17, 180)))
+
+    flat = corpus.reshape(n_batches * b, -1)
+    feats = lfcc_features(flat, cfg, use_pallas=False)
+    ref = jax.nn.sigmoid(
+        model.apply(variables, jnp.transpose(feats, (0, 2, 1))).reshape(-1)
+    )
+
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    scorer = make_sharded_corpus_scorer(model, mesh, cfg, frontend="fft")
+    got = scorer(variables, corpus)
+    assert got.shape == (n_batches * b,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
