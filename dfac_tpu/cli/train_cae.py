@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device-resident", action="store_true",
                    help="bonafide corpus in HBM; each epoch is one compiled program")
+    p.add_argument("--fused-fit", action="store_true",
+                   help="the WHOLE run (epochs + validation + best rule + "
+                   "plateau + early stop) as one dispatched program")
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
@@ -66,7 +69,8 @@ def main(argv=None):
     visualizer = create_cae_visualizer("noop" if args.quiet else ("plain" if args.no_rich else "rich"))
     trainer = CAETrainer(cfg, visualizer=visualizer)
     normalizer = FeatureNormalizer.load(args.normalizer) if args.normalizer else None
-    result = trainer.fit(train_ds, dev_ds, checkpoint_dir=args.checkpoint_dir, normalizer=normalizer)
+    fit = trainer.fit_fused if args.fused_fit else trainer.fit
+    result = fit(train_ds, dev_ds, checkpoint_dir=args.checkpoint_dir, normalizer=normalizer)
     print(f"best val reconstruction MSE: {result['best_val_mse']:.6f}")
     return result
 

@@ -147,6 +147,122 @@ def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int):
     return epoch_scan
 
 
+def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev: int):
+    """Whole CAE training run as ONE dispatch (mirrors
+    :func:`dfac_tpu.train.fused_fit.make_fused_fit` with the CAE recipe:
+    best = min bonafide-dev reconstruction MSE, ReduceLROnPlateau on val
+    MSE, early stop on no-improve epochs — reference ``src/train_cae.py``
+    defaults lr 1e-4 / plateau 7 / stop 10).
+
+    Returns ``fused(state, train_feats, dev_feats, dev_idx, dev_w) ->
+    (final_state, best_vars, aux, history)``; history rows are
+    (train_loss, val_mse, lr, is_best, stopped) device arrays.
+    """
+    epoch_scan = make_cae_epoch_scan(
+        model, tx, mean, std, n_examples=n_train, batch_size=cfg.batch_size
+    )
+    bs = cfg.eval_batch_size or cfg.batch_size
+    base_seed = cfg.seed * 100003
+    threshold = 1e-4  # torch ReduceLROnPlateau rel-threshold default
+    min_lr = 1e-6
+    loss_eps = 0.0  # best = strict min val MSE (reference ``:277-283``)
+
+    def set_lr(opt_state, lr):
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = lr
+        return opt_state._replace(hyperparams=hp)
+
+    @jax.jit
+    def fused(state: TrainState, tf, df, didx, dw):
+        def variables_of(st):
+            v = {"params": st.params}
+            if st.batch_stats:
+                v["batch_stats"] = st.batch_stats
+            return v
+
+        def validate(st):
+            def body(acc, args):
+                idx, w = args
+                x = (jnp.transpose(jnp.take(df, idx, axis=0), (0, 2, 1)) - mean) / std
+                recon, _ = model.apply(variables_of(st), x)
+                per = reconstruction_mse(recon, x)
+                return acc + jnp.sum(per * w), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros(()), (didx, dw))
+            return total / n_dev
+
+        def run_epoch(carry, epoch):
+            (state, best_vars, best_val, best_epoch, no_improve,
+             sched_best, sched_bad, lr, stopped) = carry
+            state = state.replace(opt_state=set_lr(state.opt_state, lr))
+            state, loss_sum, count = epoch_scan(state, tf, base_seed + epoch)
+            train_loss = loss_sum / jnp.maximum(count, 1.0)
+            val = validate(state)
+
+            first = jnp.isinf(best_val)
+            is_best = jnp.logical_or(first, val < best_val - loss_eps)
+            best_val = jnp.where(is_best, val, best_val)
+            best_epoch = jnp.where(is_best, epoch, best_epoch)
+            no_improve = jnp.where(is_best, 0, no_improve + 1)
+            best_vars = jax.tree.map(
+                lambda b, c: jnp.where(is_best, c, b), best_vars, variables_of(state)
+            )
+
+            sched_first = jnp.isinf(sched_best)
+            improved = jnp.logical_or(sched_first, val < sched_best * (1.0 - threshold))
+            sched_best = jnp.where(improved, val, sched_best)
+            sched_bad = jnp.where(improved, 0, sched_bad + 1)
+            reduce_now = sched_bad > cfg.lr_scheduler_patience
+            lr = jnp.where(
+                reduce_now, jnp.maximum(lr * cfg.lr_scheduler_factor, min_lr), lr
+            )
+            sched_bad = jnp.where(reduce_now, 0, sched_bad)
+
+            stopped = jnp.logical_or(
+                stopped, (no_improve >= cfg.early_stop) if cfg.early_stop else False
+            )
+            carry = (state, best_vars, best_val, best_epoch, no_improve,
+                     sched_best, sched_bad, lr, stopped)
+            return carry, (train_loss, val, lr, is_best, stopped)
+
+        def skip_epoch(carry, epoch):
+            del epoch
+            nan = jnp.float32(jnp.nan)
+            return carry, (nan, nan, carry[7], jnp.asarray(False), jnp.asarray(True))
+
+        def body(carry, epoch):
+            return jax.lax.cond(carry[-1], skip_epoch, run_epoch, carry, epoch)
+
+        init = (
+            state,
+            jax.tree.map(jnp.copy, variables_of(state)),
+            jnp.float32(jnp.inf),   # best_val
+            jnp.int32(0),           # best_epoch
+            jnp.int32(0),           # no_improve
+            jnp.float32(jnp.inf),   # sched_best
+            jnp.int32(0),           # sched_bad
+            jnp.float32(cfg.lr),
+            jnp.asarray(False),
+        )
+        carry, history = jax.lax.scan(body, init, jnp.arange(1, cfg.epochs + 1))
+        (final_state, best_vars, best_val, best_epoch, no_improve,
+         sched_best, sched_bad, lr, _stopped) = carry
+        aux = {
+            "best_val": best_val, "best_epoch": best_epoch,
+            "no_improve": no_improve, "sched_best": sched_best,
+            "sched_bad": sched_bad, "lr": lr,
+        }
+        return final_state, best_vars, aux, history
+
+    # dev batching layout shared with cae_mse_scores' padded iteration
+    n_b = -(-n_dev // bs)
+    idx = np.full((n_b * bs,), 0, np.int32)
+    idx[:n_dev] = np.arange(n_dev)
+    w = np.zeros((n_b * bs,), np.float32)
+    w[:n_dev] = 1.0
+    return fused, jnp.asarray(idx.reshape(n_b, bs)), jnp.asarray(w.reshape(n_b, bs))
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def _cae_score_step(model, variables, feats, mean, std):
     x = (jnp.transpose(feats, (0, 2, 1)) - mean) / std
@@ -378,6 +494,91 @@ class CAETrainer:
         if last_path:
             ckpt_lib.save_checkpoint(
                 last_path, self.variables(), opt_state=self.state.opt_state,
+                epoch=self.history[-1].epoch if self.history else 0,
+                config=dataclasses.asdict(cfg),
+            )
+        return {"best_val_mse": best_val, "history": self.history, "normalizer": self.normalizer}
+
+    def fit_fused(
+        self,
+        train_ds: ArrayDataset,
+        dev_ds: ArrayDataset,
+        checkpoint_dir: str | None = None,
+        normalizer: FeatureNormalizer | None = None,
+    ) -> dict:
+        """The whole CAE run (epochs + validation + best rule + plateau +
+        early stop) as ONE dispatched program — the CAE counterpart of
+        :func:`dfac_tpu.train.fused_fit.fit_fused`. Converges identically to
+        :meth:`fit` with ``device_resident=True`` (same epoch-scan shuffle
+        seeds, same scheduler semantics); artifacts (``cae_best``/
+        ``cae_last``/normalizer) match the per-epoch trainer's."""
+        import os
+
+        cfg = self.cfg
+        bona_train = train_ds.filter_label(1) if train_ds.labels is not None else train_ds
+        bona_dev = dev_ds.filter_label(1) if dev_ds.labels is not None else dev_ds
+        self.normalizer = normalizer or build_normalizer(
+            train_ds.features, train_ds.labels, swap_tf=cfg.swap_tf
+        )
+        mean = jnp.asarray(self.normalizer.mean)
+        std = jnp.asarray(self.normalizer.std)
+
+        init_key, _ = jax.random.split(jax.random.key(cfg.seed))
+        x0 = jnp.transpose(jnp.asarray(bona_train.features[:1]), (0, 2, 1))
+        variables = self.model.init({"params": init_key, "dropout": init_key}, x0)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            key=train_key(cfg.seed),
+        )
+
+        fused, didx, dw = make_fused_cae_fit(
+            self.model, self.tx, cfg, mean, std,
+            n_train=len(bona_train), n_dev=len(bona_dev),
+        )
+        tf = jax.device_put(jnp.asarray(bona_train.features))
+        df = jax.device_put(jnp.asarray(bona_dev.features))
+        final_state, best_vars, aux, history = fused(self.state, tf, df, didx, dw)
+        self.state = final_state
+
+        train_loss, val, lr, is_best, stopped = jax.device_get(history)
+        aux = jax.device_get(aux)
+        self.history = []
+        no_improve = 0
+        for e in range(cfg.epochs):
+            if stopped[e] and np.isnan(train_loss[e]):
+                break
+            no_improve = 0 if is_best[e] else no_improve + 1
+            self.history.append(
+                EpochMetrics(
+                    epoch=e + 1, train_loss=float(train_loss[e]),
+                    dev_loss=float(val[e]), dev_eer=None,
+                    is_best=bool(is_best[e]), improved=bool(is_best[e]),
+                    epochs_no_improve=no_improve, learning_rate=float(lr[e]),
+                )
+            )
+        self._lr = float(aux["lr"])
+        sb = float(aux["sched_best"])
+        self.scheduler.best = None if np.isinf(sb) else sb
+        self.scheduler.num_bad_epochs = int(aux["sched_bad"])
+
+        best_val = float(aux["best_val"]) if np.isfinite(aux["best_val"]) else None
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            self.normalizer.save(os.path.join(checkpoint_dir, "normalizer.npz"))
+            bv = {"params": best_vars["params"]}
+            if best_vars.get("batch_stats"):
+                bv["batch_stats"] = best_vars["batch_stats"]
+            ckpt_lib.save_checkpoint(
+                os.path.join(checkpoint_dir, "cae_best.ckpt"), bv,
+                opt_state=self.state.opt_state, epoch=int(aux["best_epoch"]),
+                config=dataclasses.asdict(cfg),
+                scheduler_state=self.scheduler.state_dict(),
+            )
+            ckpt_lib.save_checkpoint(
+                os.path.join(checkpoint_dir, "cae_last.ckpt"), self.variables(),
+                opt_state=self.state.opt_state,
                 epoch=self.history[-1].epoch if self.history else 0,
                 config=dataclasses.asdict(cfg),
             )

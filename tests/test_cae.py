@@ -130,3 +130,38 @@ def test_cae_generalized_geometry():
 
     with pytest.raises(ValueError, match="floor-pool"):
         m.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 12)), train=True)
+
+
+def test_cae_fused_fit_matches_resident_fit(tmp_path):
+    """The one-dispatch CAE run trains identically to the per-epoch
+    device-resident trainer (same epoch-scan shuffle seeds, same plateau /
+    best-rule semantics), and writes the same artifact set."""
+    import os
+
+    rng = np.random.default_rng(21)
+    train_ds = _cae_corpus(rng, 24)
+    dev_ds = _cae_corpus(np.random.default_rng(22), 16)
+    cfg = CAEConfig(batch_size=8, epochs=3, base_channels=4, early_stop=0,
+                    device_resident=True, seed=5)
+
+    ref_tr = CAETrainer(cfg)
+    ref = ref_tr.fit(train_ds, dev_ds)
+
+    ckdir = str(tmp_path / "fused_ck")
+    fused_tr = CAETrainer(cfg)
+    got = fused_tr.fit_fused(train_ds, dev_ds, checkpoint_dir=ckdir)
+
+    assert len(got["history"]) == len(ref["history"])
+    for a, b in zip(ref["history"], got["history"]):
+        assert b.train_loss == pytest.approx(a.train_loss, rel=1e-5)
+        assert b.dev_loss == pytest.approx(a.dev_loss, rel=1e-5)
+        assert b.is_best == a.is_best
+        assert b.learning_rate == pytest.approx(a.learning_rate, rel=1e-6)
+    assert got["best_val_mse"] == pytest.approx(ref["best_val_mse"], rel=1e-5)
+    for f in ("cae_best.ckpt", "cae_last.ckpt", "normalizer.npz"):
+        assert os.path.exists(os.path.join(ckdir, f)), f
+
+    # scoring through the fused trainer's final state matches the reference
+    s_ref = cae_mse_scores(ref_tr.model, ref_tr.variables(), dev_ds, ref_tr.normalizer, 8)
+    s_got = cae_mse_scores(fused_tr.model, fused_tr.variables(), dev_ds, fused_tr.normalizer, 8)
+    np.testing.assert_allclose(s_got, s_ref, rtol=1e-4, atol=1e-6)
