@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--device-resident", action="store_true",
                    help="corpus in HBM; each epoch runs as one scan program")
+    p.add_argument("--fused-fit", action="store_true",
+                   help="the WHOLE run (epochs + dev EER + best rule + patience) "
+                   "as one dispatched program")
     return p.parse_args(argv)
 
 
@@ -84,7 +87,8 @@ def main(argv=None):
         dev_ds = load_dataset(*split_paths(args.dev_split))
         in_ch = train_ds.features.shape[1]
         trainer = DetectorTrainer(cfg, in_channels=in_ch)
-        result = trainer.fit(train_ds, dev_ds, ckpt_path=args.ckpt_path)
+        fit = trainer.fit_fused if args.fused_fit else trainer.fit
+        result = fit(train_ds, dev_ds, ckpt_path=args.ckpt_path)
         print(f"Training done. Best dev EER: {result['best_eer']:.6f}")
         model = trainer.model
     else:

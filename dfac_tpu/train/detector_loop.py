@@ -174,6 +174,97 @@ def make_detector_epoch_scan(
     return epoch_scan
 
 
+def make_fused_detector_fit(
+    model, tx, cfg: DetectorConfig, pos_weight: float,
+    n_train: int, n_dev: int,
+):
+    """The whole detector run as ONE dispatched program: per-epoch weighted
+    orders come in as a pre-sampled (epochs, N) matrix (host numpy keeps the
+    reference's WeightedRandomSampler semantics and determinism), and the
+    scan runs train epochs, EMA, dev EER under the eval variables, the
+    min-EER best rule with patience, and early stopping on device.
+
+    Returns ``fused(state, tf, tlen, tl, orders, df, dlen, dl, didx) ->
+    (final_state, best_vars, aux, history)``. Dev splits must satisfy the
+    int32-exact EER bound (`dfac_tpu.ops.eer.INT32_EXACT_MAX_N`).
+    """
+    from dfac_tpu.ops.eer import eer_counts_jax
+
+    epoch_scan = make_detector_epoch_scan(
+        model, tx, cfg, pos_weight, n_train, cfg.batch_size
+    )
+    n_batches = -(-n_train // cfg.batch_size)
+
+    @jax.jit
+    def fused(state: DetectorState, tf, tlen, tl, orders, df, dlen, dl, didx):
+        def eval_vars_of(st):
+            params = st.ema_params if cfg.ema else st.params
+            v = {"params": params}
+            if st.batch_stats:
+                v["batch_stats"] = st.batch_stats
+            return v
+
+        def dev_eer_num(st):
+            v = eval_vars_of(st)
+
+            def body(_, idx):
+                x = jnp.transpose(jnp.take(df, idx, axis=0), (0, 2, 1))
+                logits = model.apply(v, x, lengths=jnp.take(dlen, idx, axis=0))
+                return None, logits.reshape(-1)
+
+            _, scores = jax.lax.scan(body, None, didx)
+            # pad rows live only at the tail of the last batch (didx repeats
+            # row 0 there): the first n_dev flattened scores are exactly the
+            # dev rows in dataset order
+            fa, fr, ns, nb, thr = eer_counts_jax(scores.reshape(-1)[:n_dev], dl)
+            fa_f, fr_f = fa.astype(jnp.float32), fr.astype(jnp.float32)
+            ns_f, nb_f = ns.astype(jnp.float32), nb.astype(jnp.float32)
+            return fa_f * nb_f + fr_f * ns_f, 2.0 * ns_f * nb_f, thr
+
+        def run_epoch(carry, args):
+            epoch, order = args
+            (state, best_vars, best_num, best_epoch, bad, stopped) = carry
+            state, loss_sum = epoch_scan(state, tf, tlen, tl, order)
+            train_loss = loss_sum / n_batches
+
+            num, denom2, thr = dev_eer_num(state)
+            first = best_num < 0
+            is_best = jnp.logical_or(first, num < best_num)
+            best_num = jnp.where(is_best, num, best_num)
+            best_epoch = jnp.where(is_best, epoch, best_epoch)
+            bad = jnp.where(is_best, 0, bad + 1)
+            best_vars = jax.tree.map(
+                lambda b, c: jnp.where(is_best, c, b), best_vars, eval_vars_of(state)
+            )
+            stopped = jnp.logical_or(stopped, bad >= cfg.patience)
+            carry = (state, best_vars, best_num, best_epoch, bad, stopped)
+            return carry, (train_loss, num / denom2, is_best, stopped)
+
+        def skip_epoch(carry, args):
+            del args
+            nan = jnp.float32(jnp.nan)
+            return carry, (nan, nan, jnp.asarray(False), jnp.asarray(True))
+
+        def body(carry, args):
+            return jax.lax.cond(carry[-1], skip_epoch, run_epoch, carry, args)
+
+        init = (
+            state,
+            jax.tree.map(jnp.copy, eval_vars_of(state)),
+            jnp.float32(-1.0),  # best_num
+            jnp.int32(0),
+            jnp.int32(0),       # bad epochs
+            jnp.asarray(False),
+        )
+        epochs = jnp.arange(1, orders.shape[0] + 1)
+        carry, history = jax.lax.scan(body, init, (epochs, orders))
+        final_state, best_vars, best_num, best_epoch, bad, _ = carry
+        aux = {"best_num": best_num, "best_epoch": best_epoch, "bad": bad}
+        return final_state, best_vars, aux, history
+
+    return fused
+
+
 class DetectorTrainer:
     def __init__(self, cfg: DetectorConfig, in_channels: int = 180):
         self.cfg = cfg
@@ -297,6 +388,89 @@ class DetectorTrainer:
                     break
 
         return {"best_eer": best_eer, "history": history}
+
+    def fit_fused(
+        self, train_ds: ArrayDataset, dev_ds: ArrayDataset, ckpt_path: str | None = None
+    ) -> dict:
+        """The whole detector run as one dispatched program — same weighted
+        sampling stream, EMA, eval-variables dev EER, min-EER best rule, and
+        patience semantics as :meth:`fit` (the per-epoch orders are drawn
+        from the identical numpy rng sequence and shipped as one (epochs, N)
+        matrix)."""
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        labels = np.asarray(train_ds.labels)
+        pos_weight, w0, w1 = compute_class_weights(labels)
+        sample_p = np.where(labels == 1, w1, w0).astype(np.float64)
+        sample_p /= sample_p.sum()
+        lengths = self._lengths(train_ds)
+        dev_lengths = self._lengths(dev_ds)
+        n, n_dev = len(train_ds), len(dev_ds)
+        from dfac_tpu.ops.eer import INT32_EXACT_MAX_N
+
+        if n_dev > INT32_EXACT_MAX_N:
+            raise ValueError(
+                f"fused detector fit supports dev splits up to {INT32_EXACT_MAX_N} "
+                f"rows (device int32-exact EER); got {n_dev} — use fit()"
+            )
+
+        init_key, _ = jax.random.split(jax.random.key(cfg.seed))
+        state_key = train_key(cfg.seed)
+        t_dim = train_ds.features.shape[2]
+        x0 = jnp.zeros((1, t_dim, train_ds.features.shape[1]))
+        variables = self.model.init({"params": init_key, "dropout": init_key}, x0)
+        self.state = DetectorState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            ema_params=variables["params"] if cfg.ema else None,
+            opt_state=self.tx.init(variables["params"]),
+            key=state_key,
+        )
+
+        orders = np.stack([
+            rng.choice(n, size=n, replace=True, p=sample_p) for _ in range(cfg.epochs)
+        ]).astype(np.int32)
+
+        bs = cfg.batch_size
+        n_b = -(-n_dev // bs)
+        didx = np.zeros((n_b * bs,), np.int32)
+        didx[:n_dev] = np.arange(n_dev)
+
+        fused = make_fused_detector_fit(
+            self.model, self.tx, cfg, pos_weight, n_train=n, n_dev=n_dev
+        )
+        final_state, best_vars, aux, history = fused(
+            self.state,
+            jnp.asarray(train_ds.features), jnp.asarray(lengths),
+            jnp.asarray(labels.astype(np.float32)),
+            jnp.asarray(orders),
+            jnp.asarray(dev_ds.features), jnp.asarray(dev_lengths),
+            jnp.asarray(dev_ds.labels.astype(np.int32)),
+            jnp.asarray(didx.reshape(n_b, bs)),
+        )
+        self.state = final_state
+        self._best_eval_vars = jax.device_get(best_vars)
+
+        train_loss, dev_eer, is_best, stopped = jax.device_get(history)
+        out_history = []
+        for e in range(cfg.epochs):
+            if stopped[e] and np.isnan(train_loss[e]):
+                break
+            out_history.append({
+                "epoch": e + 1, "train_loss": float(train_loss[e]),
+                "dev_eer": float(dev_eer[e]),
+            })
+        best_eer = (
+            float(min(h["dev_eer"] for h in out_history)) if out_history else float("inf")
+        )
+        if ckpt_path and out_history:
+            from dfac_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                ckpt_path, self._best_eval_vars, epoch=int(aux["best_epoch"]),
+                config=dataclasses.asdict(cfg),
+            )
+        return {"best_eer": best_eer, "history": out_history}
 
 
 import functools

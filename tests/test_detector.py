@@ -206,3 +206,45 @@ def test_detector_trainer_device_resident_fit(rng):
     assert len(result["history"]) == 2
     assert np.isfinite(result["history"][-1]["train_loss"])
     assert 0.0 <= result["best_eer"] <= 1.0
+
+
+def test_detector_fused_fit_matches_stepwise_fit(rng, tmp_path):
+    """The one-dispatch detector run matches fit() epoch-for-epoch: same
+    weighted-sampling stream, same dev EERs, same best epoch/checkpoint
+    (EMA on, so the eval-variables path is exercised)."""
+    import os
+
+    n, c, t = 24, 12, 20
+    feats = rng.normal(size=(n, c, t)).astype(np.float32)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    feats[labels == 1, :4] += 2.0
+    train = ArrayDataset([f"u{i}" for i in range(n)], feats, labels)
+    dev_f = rng.normal(size=(14, c, t)).astype(np.float32)
+    dev_l = (np.arange(14) % 2).astype(np.int32)
+    dev_f[dev_l == 1, :4] += 2.0
+    dev = ArrayDataset([f"d{i}" for i in range(14)], dev_f, dev_l)
+
+    # device_resident=True so fit() drives the SAME epoch-scan program the
+    # fused run inlines (maximizes cross-compilation numeric agreement;
+    # Adam amplifies f32 noise in zero-gradient params otherwise)
+    cfg = DetectorConfig(epochs=3, batch_size=8, hidden=8, dropout=0.0,
+                         ema=True, seed=3, patience=10, device_resident=True)
+
+    ref_tr = DetectorTrainer(cfg, in_channels=c)
+    ref = ref_tr.fit(train, dev, ckpt_path=str(tmp_path / "ref.ckpt"))
+
+    fused_tr = DetectorTrainer(cfg, in_channels=c)
+    got = fused_tr.fit_fused(train, dev, ckpt_path=str(tmp_path / "fused.ckpt"))
+
+    assert len(got["history"]) == len(ref["history"])
+    for a, b in zip(ref["history"], got["history"]):
+        assert b["epoch"] == a["epoch"]
+        assert b["dev_eer"] == pytest.approx(a["dev_eer"], abs=1e-6)
+        assert b["train_loss"] == pytest.approx(a["train_loss"], rel=1e-4)
+    assert got["best_eer"] == pytest.approx(ref["best_eer"], abs=1e-6)
+    assert os.path.exists(tmp_path / "fused.ckpt")
+
+    # the final states score identically (same key chain, same updates)
+    s_ref = ref_tr.scores(dev)
+    s_got = fused_tr.scores(dev)
+    np.testing.assert_allclose(s_got, s_ref, rtol=1e-4, atol=1e-5)
