@@ -59,6 +59,7 @@ def main() -> None:
     # hundreds of MB. Pre-batched (n_batches, B, samples) layout: the whole
     # corpus scores as ONE lax.scan program — a single dispatch instead of
     # 64, measured +6% over per-batch dispatches through the relay.
+    assert n_corpus % batch == 0, "pre-batched corpus would silently drop the tail"
     corpus = jax.jit(
         lambda key: jax.random.normal(
             key, (n_corpus // batch, batch, n_samples), jnp.float32

@@ -19,6 +19,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 from dfac_tpu.features.lfcc import LFCCConfig, lfcc_features
 
 
+def _score_waves(model, variables, waves, cfg, frontend, apply_sigmoid):
+    """One batch of raw waveforms -> scores (shared by the per-batch and
+    whole-corpus sharded scorers)."""
+    if frontend == "gemm":
+        from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features
+
+        feats = gemm_lfcc_features(waves, cfg)
+    else:
+        feats = lfcc_features(waves, cfg, use_pallas=False)
+    x = jnp.transpose(feats, (0, 2, 1))
+    out = model.apply(variables, x)
+    logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
+    return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+
 def make_sharded_e2e_scorer(
     model: Any,
     mesh: Mesh,
@@ -34,16 +49,7 @@ def make_sharded_e2e_scorer(
     """
 
     def per_shard(variables, waves):
-        if frontend == "gemm":
-            from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features
-
-            feats = gemm_lfcc_features(waves, cfg)
-        else:
-            feats = lfcc_features(waves, cfg, use_pallas=False)
-        x = jnp.transpose(feats, (0, 2, 1))
-        out = model.apply(variables, x)
-        logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
-        return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+        return _score_waves(model, variables, waves, cfg, frontend, apply_sigmoid)
 
     return jax.jit(
         shard_map(
@@ -79,16 +85,7 @@ def make_sharded_corpus_scorer(
         # corpus3d: (n_batches, B/shards, n_samples) — the batch axis is
         # the sharded one so every scan step is a full local batch
         def body(_, waves):
-            if frontend == "gemm":
-                from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features
-
-                feats = gemm_lfcc_features(waves, cfg)
-            else:
-                feats = lfcc_features(waves, cfg, use_pallas=False)
-            x = jnp.transpose(feats, (0, 2, 1))
-            out = model.apply(variables, x)
-            logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
-            return None, jax.nn.sigmoid(logits) if apply_sigmoid else logits
+            return None, _score_waves(model, variables, waves, cfg, frontend, apply_sigmoid)
 
         _, scores = jax.lax.scan(body, None, corpus3d)
         return scores  # (n_batches, B/shards)

@@ -163,14 +163,12 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
     )
     bs = cfg.eval_batch_size or cfg.batch_size
     base_seed = cfg.seed * 100003
-    threshold = 1e-4  # torch ReduceLROnPlateau rel-threshold default
-    min_lr = 1e-6
+    # plateau constants come from the host scheduler so the fused and
+    # per-epoch trajectories cannot drift if its defaults change
+    threshold = PlateauScheduler.threshold
+    min_lr = PlateauScheduler.min_lr
     loss_eps = 0.0  # best = strict min val MSE (reference ``:277-283``)
-
-    def set_lr(opt_state, lr):
-        hp = dict(opt_state.hyperparams)
-        hp["learning_rate"] = lr
-        return opt_state._replace(hyperparams=hp)
+    set_lr = _set_opt_lr
 
     @jax.jit
     def fused(state: TrainState, tf, df, didx, dw):
@@ -192,8 +190,8 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
             return total / n_dev
 
         def run_epoch(carry, epoch):
-            (state, best_vars, best_val, best_epoch, no_improve,
-             sched_best, sched_bad, lr, stopped) = carry
+            (state, best_vars, best_opt, best_sched, best_val, best_epoch,
+             no_improve, sched_best, sched_bad, lr, stopped) = carry
             state = state.replace(opt_state=set_lr(state.opt_state, lr))
             state, loss_sum, count = epoch_scan(state, tf, base_seed + epoch)
             train_loss = loss_sum / jnp.maximum(count, 1.0)
@@ -206,6 +204,16 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
             no_improve = jnp.where(is_best, 0, no_improve + 1)
             best_vars = jax.tree.map(
                 lambda b, c: jnp.where(is_best, c, b), best_vars, variables_of(state)
+            )
+            # optimizer + scheduler snapshot at the best epoch, matching the
+            # per-epoch trainer's save point: opt_state AFTER this epoch's
+            # updates, scheduler counters BEFORE this epoch's plateau step
+            best_opt = jax.tree.map(
+                lambda b, c: jnp.where(is_best, c, b), best_opt, state.opt_state
+            )
+            best_sched = jax.tree.map(
+                lambda b, c: jnp.where(is_best, c, b),
+                best_sched, (sched_best, sched_bad, lr),
             )
 
             sched_first = jnp.isinf(sched_best)
@@ -221,14 +229,14 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
             stopped = jnp.logical_or(
                 stopped, (no_improve >= cfg.early_stop) if cfg.early_stop else False
             )
-            carry = (state, best_vars, best_val, best_epoch, no_improve,
-                     sched_best, sched_bad, lr, stopped)
+            carry = (state, best_vars, best_opt, best_sched, best_val,
+                     best_epoch, no_improve, sched_best, sched_bad, lr, stopped)
             return carry, (train_loss, val, lr, is_best, stopped)
 
         def skip_epoch(carry, epoch):
             del epoch
             nan = jnp.float32(jnp.nan)
-            return carry, (nan, nan, carry[7], jnp.asarray(False), jnp.asarray(True))
+            return carry, (nan, nan, carry[9], jnp.asarray(False), jnp.asarray(True))
 
         def body(carry, epoch):
             return jax.lax.cond(carry[-1], skip_epoch, run_epoch, carry, epoch)
@@ -236,6 +244,8 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
         init = (
             state,
             jax.tree.map(jnp.copy, variables_of(state)),
+            jax.tree.map(jnp.copy, state.opt_state),
+            (jnp.float32(jnp.inf), jnp.int32(0), jnp.float32(cfg.lr)),
             jnp.float32(jnp.inf),   # best_val
             jnp.int32(0),           # best_epoch
             jnp.int32(0),           # no_improve
@@ -245,14 +255,16 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
             jnp.asarray(False),
         )
         carry, history = jax.lax.scan(body, init, jnp.arange(1, cfg.epochs + 1))
-        (final_state, best_vars, best_val, best_epoch, no_improve,
-         sched_best, sched_bad, lr, _stopped) = carry
+        (final_state, best_vars, best_opt, best_sched, best_val, best_epoch,
+         no_improve, sched_best, sched_bad, lr, _stopped) = carry
         aux = {
             "best_val": best_val, "best_epoch": best_epoch,
             "no_improve": no_improve, "sched_best": sched_best,
             "sched_bad": sched_bad, "lr": lr,
+            "best_sched_best": best_sched[0], "best_sched_bad": best_sched[1],
+            "best_lr": best_sched[2],
         }
-        return final_state, best_vars, aux, history
+        return final_state, best_vars, best_opt, aux, history
 
     # dev batching layout shared with cae_mse_scores' padded iteration
     n_b = -(-n_dev // bs)
@@ -539,7 +551,9 @@ class CAETrainer:
         )
         tf = jax.device_put(jnp.asarray(bona_train.features))
         df = jax.device_put(jnp.asarray(bona_dev.features))
-        final_state, best_vars, aux, history = fused(self.state, tf, df, didx, dw)
+        final_state, best_vars, best_opt, aux, history = fused(
+            self.state, tf, df, didx, dw
+        )
         self.state = final_state
 
         train_loss, val, lr, is_best, stopped = jax.device_get(history)
@@ -570,11 +584,20 @@ class CAETrainer:
             bv = {"params": best_vars["params"]}
             if best_vars.get("batch_stats"):
                 bv["batch_stats"] = best_vars["batch_stats"]
+            # best ckpt carries the BEST-epoch optimizer + scheduler
+            # snapshot (what the per-epoch trainer saved at the moment of
+            # improvement), not the end-of-run state
+            bsb = float(aux["best_sched_best"])
+            best_sched = PlateauScheduler(
+                factor=cfg.lr_scheduler_factor, patience=cfg.lr_scheduler_patience,
+            )
+            best_sched.best = None if np.isinf(bsb) else bsb
+            best_sched.num_bad_epochs = int(aux["best_sched_bad"])
             ckpt_lib.save_checkpoint(
                 os.path.join(checkpoint_dir, "cae_best.ckpt"), bv,
-                opt_state=self.state.opt_state, epoch=int(aux["best_epoch"]),
+                opt_state=best_opt, epoch=int(aux["best_epoch"]),
                 config=dataclasses.asdict(cfg),
-                scheduler_state=self.scheduler.state_dict(),
+                scheduler_state=best_sched.state_dict(),
             )
             ckpt_lib.save_checkpoint(
                 os.path.join(checkpoint_dir, "cae_last.ckpt"), self.variables(),

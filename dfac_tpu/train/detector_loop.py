@@ -217,28 +217,44 @@ def make_fused_detector_fit(
             # row 0 there): the first n_dev flattened scores are exactly the
             # dev rows in dataset order
             fa, fr, ns, nb, thr = eer_counts_jax(scores.reshape(-1)[:n_dev], dl)
-            fa_f, fr_f = fa.astype(jnp.float32), fr.astype(jnp.float32)
+            # EER numerator as TWO int32 terms. Each product is individually
+            # int32-exact under the INT32_EXACT_MAX_N guard (fa <= ns so
+            # fa*nb <= ns*nb < 2^31), but their SUM can reach ~2^32, and an
+            # f32 sum loses integer resolution above 2^24 — a 1-count EER
+            # improvement near the guard's max split would round away and
+            # wrongly advance the patience counter. Comparisons stay exact
+            # by comparing term differences instead of the formed sums.
             ns_f, nb_f = ns.astype(jnp.float32), nb.astype(jnp.float32)
-            return fa_f * nb_f + fr_f * ns_f, 2.0 * ns_f * nb_f, thr
+            return fa * nb, fr * ns, 2.0 * ns_f * nb_f, thr
 
         def run_epoch(carry, args):
             epoch, order = args
-            (state, best_vars, best_num, best_epoch, bad, stopped) = carry
+            (state, best_vars, best_p1, best_p2, best_epoch, bad, stopped) = carry
             state, loss_sum = epoch_scan(state, tf, tlen, tl, order)
             train_loss = loss_sum / n_batches
 
-            num, denom2, thr = dev_eer_num(state)
-            first = best_num < 0
-            is_best = jnp.logical_or(first, num < best_num)
-            best_num = jnp.where(is_best, num, best_num)
+            p1, p2, denom2, thr = dev_eer_num(state)
+            first = best_p1 < 0
+            # exact (p1 + p2) < (best_p1 + best_p2) without forming the sums:
+            # both int32 differences are in range under the size guard
+            better = (p1 - best_p1) < (best_p2 - p2)
+            is_best = jnp.logical_or(first, better)
+            best_p1 = jnp.where(is_best, p1, best_p1)
+            best_p2 = jnp.where(is_best, p2, best_p2)
             best_epoch = jnp.where(is_best, epoch, best_epoch)
             bad = jnp.where(is_best, 0, bad + 1)
             best_vars = jax.tree.map(
                 lambda b, c: jnp.where(is_best, c, b), best_vars, eval_vars_of(state)
             )
-            stopped = jnp.logical_or(stopped, bad >= cfg.patience)
-            carry = (state, best_vars, best_num, best_epoch, bad, stopped)
-            return carry, (train_loss, num / denom2, is_best, stopped)
+            # patience fires only from the non-improvement branch, exactly
+            # like fit(): with patience=0 an improving epoch must NOT stop
+            # the run (bad==0 >= 0 would otherwise always trigger)
+            stopped = jnp.logical_or(
+                stopped, jnp.logical_and(~is_best, bad >= cfg.patience)
+            )
+            eer = (p1.astype(jnp.float32) + p2.astype(jnp.float32)) / denom2
+            carry = (state, best_vars, best_p1, best_p2, best_epoch, bad, stopped)
+            return carry, (train_loss, eer, is_best, stopped)
 
         def skip_epoch(carry, args):
             del args
@@ -251,15 +267,19 @@ def make_fused_detector_fit(
         init = (
             state,
             jax.tree.map(jnp.copy, eval_vars_of(state)),
-            jnp.float32(-1.0),  # best_num
+            jnp.int32(-1),  # best_p1 (fa*nb; -1 = unset)
+            jnp.int32(0),   # best_p2 (fr*ns)
             jnp.int32(0),
-            jnp.int32(0),       # bad epochs
+            jnp.int32(0),   # bad epochs
             jnp.asarray(False),
         )
         epochs = jnp.arange(1, orders.shape[0] + 1)
         carry, history = jax.lax.scan(body, init, (epochs, orders))
-        final_state, best_vars, best_num, best_epoch, bad, _ = carry
-        aux = {"best_num": best_num, "best_epoch": best_epoch, "bad": bad}
+        final_state, best_vars, best_p1, best_p2, best_epoch, bad, _ = carry
+        aux = {
+            "best_p1": best_p1, "best_p2": best_p2,
+            "best_epoch": best_epoch, "bad": bad,
+        }
         return final_state, best_vars, aux, history
 
     return fused
@@ -398,6 +418,8 @@ class DetectorTrainer:
         from the identical numpy rng sequence and shipped as one (epochs, N)
         matrix)."""
         cfg = self.cfg
+        if cfg.epochs <= 0:
+            return {"best_eer": float("inf"), "history": []}
         rng = np.random.default_rng(cfg.seed)
         labels = np.asarray(train_ds.labels)
         pos_weight, w0, w1 = compute_class_weights(labels)

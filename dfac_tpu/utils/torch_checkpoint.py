@@ -104,12 +104,15 @@ def _resolve_lazy(obj: Any) -> Any:
         resolved = [_resolve_lazy(v) for v in obj]
         if type(obj) is tuple:
             return tuple(resolved)
-        # tuple subclasses (namedtuples in checkpoint config records) take
-        # positional fields, not a single iterable
+        # tuple subclasses: namedtuples take positional fields; Size-style
+        # subclasses take a single iterable — try both before degrading
         try:
             return type(obj)(*resolved)
         except TypeError:
-            return tuple(resolved)
+            try:
+                return type(obj)(resolved)
+            except TypeError:
+                return tuple(resolved)
     if isinstance(obj, list):
         return type(obj)(_resolve_lazy(v) for v in obj)
     return obj
