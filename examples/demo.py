@@ -53,6 +53,7 @@ def main():
     cfg = TrainConfig(
         model="cnn2d", in_features=36, epochs=3, batch_size=16, lr=2e-3,
         label_smoothing=0.05, lr_scheduler="plateau",
+        device_resident=True,  # epoch = one program: fast even over a remote relay
     )
     trainer = Trainer(cfg)
     result = trainer.fit(train_ds, dev_ds)
@@ -71,7 +72,9 @@ def main():
         print(f"wrote prediction.pkl with {len(sup_scores)} rows -> {tmp.name}")
 
     # ── CAE anomaly scorer + hybrid fusion ───────────────────────────
-    cae = CAETrainer(CAEConfig(epochs=2, batch_size=16, base_channels=4))
+    cae = CAETrainer(
+        CAEConfig(epochs=2, batch_size=16, base_channels=4, device_resident=True)
+    )
     cae.fit(train_ds, dev_ds)
     cae_scores = cae_mse_scores(cae.model, cae.variables(), test_ds, cae.normalizer, 16)
 
