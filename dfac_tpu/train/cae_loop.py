@@ -581,6 +581,10 @@ class CAETrainer:
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             self.normalizer.save(os.path.join(checkpoint_dir, "normalizer.npz"))
+        # cae_best only when an epoch actually improved (fit() and the
+        # detector fused path save on improvement; with epochs=0 the carried
+        # init snapshot must not masquerade as a trained best)
+        if checkpoint_dir and best_val is not None:
             bv = {"params": best_vars["params"]}
             if best_vars.get("batch_stats"):
                 bv["batch_stats"] = best_vars["batch_stats"]
@@ -599,6 +603,7 @@ class CAETrainer:
                 config=dataclasses.asdict(cfg),
                 scheduler_state=best_sched.state_dict(),
             )
+        if checkpoint_dir:
             ckpt_lib.save_checkpoint(
                 os.path.join(checkpoint_dir, "cae_last.ckpt"), self.variables(),
                 opt_state=self.state.opt_state,

@@ -185,9 +185,10 @@ def make_fused_detector_fit(
     min-EER best rule with patience, and early stopping on device.
 
     Returns ``fused(state, tf, tlen, tl, orders, df, dlen, dl, didx) ->
-    (final_state, best_vars, aux, history)``. Dev splits must satisfy the
-    int32-exact EER bound (`dfac_tpu.ops.eer.INT32_EXACT_MAX_N`).
+    (final_state, best_vars, aux, history)``. The best rule compares exact
+    u64 EER numerators (``ops/wideint.py``), valid at any dev-split size.
     """
+    from dfac_tpu.ops import wideint as wi
     from dfac_tpu.ops.eer import eer_counts_jax
 
     epoch_scan = make_detector_epoch_scan(
@@ -217,30 +218,33 @@ def make_fused_detector_fit(
             # row 0 there): the first n_dev flattened scores are exactly the
             # dev rows in dataset order
             fa, fr, ns, nb, thr = eer_counts_jax(scores.reshape(-1)[:n_dev], dl)
-            # EER numerator as TWO int32 terms. Each product is individually
-            # int32-exact under the INT32_EXACT_MAX_N guard (fa <= ns so
-            # fa*nb <= ns*nb < 2^31), but their SUM can reach ~2^32, and an
-            # f32 sum loses integer resolution above 2^24 — a 1-count EER
-            # improvement near the guard's max split would round away and
-            # wrongly advance the patience counter. Comparisons stay exact
-            # by comparing term differences instead of the formed sums.
-            ns_f, nb_f = ns.astype(jnp.float32), nb.astype(jnp.float32)
-            return fa * nb, fr * ns, 2.0 * ns_f * nb_f, thr
+            # EER numerator fa*nb + fr*ns in EXACT emulated u64
+            # (ops/wideint.py): int32 products wrap past ns*nb >= 2^31 and
+            # f32 sums lose 1-count resolution above 2^24, which would
+            # wrongly advance the patience counter on large dev splits.
+            p1 = wi.mul_u32(wi.to_u32(fa), wi.to_u32(nb))
+            p2 = wi.mul_u32(wi.to_u32(fr), wi.to_u32(ns))
+            num = wi.add_u64(*p1, *p2)
+            denom2 = 2.0 * ns.astype(jnp.float32) * nb.astype(jnp.float32)
+            return num, denom2, thr
 
         def run_epoch(carry, args):
             epoch, order = args
-            (state, best_vars, best_p1, best_p2, best_epoch, bad, stopped) = carry
+            (state, best_vars, best_num, best_epoch, bad, stopped) = carry
             state, loss_sum = epoch_scan(state, tf, tlen, tl, order)
             train_loss = loss_sum / n_batches
 
-            p1, p2, denom2, thr = dev_eer_num(state)
-            first = best_p1 < 0
-            # exact (p1 + p2) < (best_p1 + best_p2) without forming the sums:
-            # both int32 differences are in range under the size guard
-            better = (p1 - best_p1) < (best_p2 - p2)
+            (num_hi, num_lo), denom2, thr = dev_eer_num(state)
+            first = jnp.logical_and(
+                best_num[0] == jnp.uint32(0xFFFFFFFF),
+                best_num[1] == jnp.uint32(0xFFFFFFFF),
+            )
+            better = wi.lt_u64(num_hi, num_lo, *best_num)
             is_best = jnp.logical_or(first, better)
-            best_p1 = jnp.where(is_best, p1, best_p1)
-            best_p2 = jnp.where(is_best, p2, best_p2)
+            best_num = (
+                jnp.where(is_best, num_hi, best_num[0]),
+                jnp.where(is_best, num_lo, best_num[1]),
+            )
             best_epoch = jnp.where(is_best, epoch, best_epoch)
             bad = jnp.where(is_best, 0, bad + 1)
             best_vars = jax.tree.map(
@@ -252,8 +256,8 @@ def make_fused_detector_fit(
             stopped = jnp.logical_or(
                 stopped, jnp.logical_and(~is_best, bad >= cfg.patience)
             )
-            eer = (p1.astype(jnp.float32) + p2.astype(jnp.float32)) / denom2
-            carry = (state, best_vars, best_p1, best_p2, best_epoch, bad, stopped)
+            eer = wi.u64_to_f32(num_hi, num_lo) / denom2
+            carry = (state, best_vars, best_num, best_epoch, bad, stopped)
             return carry, (train_loss, eer, is_best, stopped)
 
         def skip_epoch(carry, args):
@@ -267,17 +271,16 @@ def make_fused_detector_fit(
         init = (
             state,
             jax.tree.map(jnp.copy, eval_vars_of(state)),
-            jnp.int32(-1),  # best_p1 (fa*nb; -1 = unset)
-            jnp.int32(0),   # best_p2 (fr*ns)
+            (jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFF)),  # best u64 numerator (unset)
             jnp.int32(0),
             jnp.int32(0),   # bad epochs
             jnp.asarray(False),
         )
         epochs = jnp.arange(1, orders.shape[0] + 1)
         carry, history = jax.lax.scan(body, init, (epochs, orders))
-        final_state, best_vars, best_p1, best_p2, best_epoch, bad, _ = carry
+        final_state, best_vars, best_num, best_epoch, bad, _ = carry
         aux = {
-            "best_p1": best_p1, "best_p2": best_p2,
+            "best_num": best_num,
             "best_epoch": best_epoch, "bad": bad,
         }
         return final_state, best_vars, aux, history
@@ -428,13 +431,6 @@ class DetectorTrainer:
         lengths = self._lengths(train_ds)
         dev_lengths = self._lengths(dev_ds)
         n, n_dev = len(train_ds), len(dev_ds)
-        from dfac_tpu.ops.eer import INT32_EXACT_MAX_N
-
-        if n_dev > INT32_EXACT_MAX_N:
-            raise ValueError(
-                f"fused detector fit supports dev splits up to {INT32_EXACT_MAX_N} "
-                f"rows (device int32-exact EER); got {n_dev} — use fit()"
-            )
 
         init_key, _ = jax.random.split(jax.random.key(cfg.seed))
         state_key = train_key(cfg.seed)

@@ -104,9 +104,8 @@ def make_resident_evaluator(
     inside a single jit — one dispatch and a few scalars fetched per epoch,
     instead of re-transferring the dev features every evaluation.
 
-    The in-jit crossing search uses int32 products — exact only up to
-    :data:`dfac_tpu.ops.eer.INT32_EXACT_MAX_N` rows; callers with larger dev
-    splits must use the host evaluator (:func:`evaluate_classifier`).
+    The in-jit crossing search uses exact emulated-u64 products
+    (``ops/wideint.py``), bit-exact at any dev-split size below 2^31 rows.
     """
     from dfac_tpu.ops.eer import eer_counts_jax
 

@@ -29,8 +29,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from dfac_tpu.obs.base import EpochMetrics
+from dfac_tpu.ops import wideint as wi
 from dfac_tpu.train.evaluate import make_resident_evaluator
 from dfac_tpu.train.loop import TrainState, make_epoch_scan
+
+# "no best yet" sentinel for the u64 best-EER numerator: larger than any
+# real numerator (num <= 2*ns*nb < 2^63), so the first epoch always wins
+_U64_UNSET = (0xFFFFFFFF, 0xFFFFFFFF)
+
+
+def _u64_pair(value: int) -> tuple:
+    return ((value >> 32) & 0xFFFFFFFF, value & 0xFFFFFFFF)
 
 
 def make_fused_fit(
@@ -88,30 +97,43 @@ def make_fused_fit(
                 ev_vars, df, dl, didx, dw
             )
             dev_loss = dev_loss_sum / n_dev
-            # EER numerator: eer = num / (2*ns*nb). The products are formed
-            # in f32, NOT int32 — at the guard's max split (ns*nb < 2^31)
-            # fa*nb + fr*ns reaches ~2^33 and 2*ns*nb reaches 2^32, both of
-            # which would silently wrap in int32. f32 rounding error on the
-            # products (<= 2^-24 relative) is orders of magnitude inside the
-            # eer_tie_eps (1e-4) tie band, so best/tie ordering semantics
-            # are unaffected at every size the n_dev guard admits.
-            fa_f, fr_f = fa.astype(jnp.float32), fr.astype(jnp.float32)
+            # EER numerator: eer = num / (2*ns*nb), with num = fa*nb + fr*ns
+            # formed in EXACT emulated u64 (ops/wideint.py) — int32 products
+            # wrap past ns*nb >= 2^31 and f32 sums lose integer resolution
+            # above 2^24, where a 1-count EER improvement near a large
+            # split's crossing would round to "equal" and wrongly advance
+            # the no-improve counter (ADVICE r2). Comparisons against the
+            # carried best are lexicographic u64, bit-exact at any size.
+            p1_hi, p1_lo = wi.mul_u32(wi.to_u32(fa), wi.to_u32(nb))
+            p2_hi, p2_lo = wi.mul_u32(wi.to_u32(fr), wi.to_u32(ns))
+            num_hi, num_lo = wi.add_u64(p1_hi, p1_lo, p2_hi, p2_lo)
             ns_f, nb_f = ns.astype(jnp.float32), nb.astype(jnp.float32)
-            num = fa_f * nb_f + fr_f * ns_f
             denom2 = 2.0 * ns_f * nb_f
-            eer = num / denom2
+            eer = wi.u64_to_f32(num_hi, num_lo) / denom2
 
-            first = best_num < 0
-            strictly_better = jnp.logical_or(first, num < best_num)
+            best_hi, best_lo = best_num
+            first = jnp.logical_and(
+                best_hi == jnp.uint32(_U64_UNSET[0]),
+                best_lo == jnp.uint32(_U64_UNSET[1]),
+            )
+            strictly_better = jnp.logical_or(
+                first, wi.lt_u64(num_hi, num_lo, best_hi, best_lo)
+            )
+            # the tie BAND is a 1e-4-relative window — f32 of the exact u64
+            # difference is accurate to 2^-24 relative, far inside the band
+            d_hi, d_lo = wi.abs_diff_u64(num_hi, num_lo, best_hi, best_lo)
             tie = jnp.logical_and(
-                jnp.abs(num - best_num) <= eer_tie_eps * denom2,
+                wi.u64_to_f32(d_hi, d_lo) <= eer_tie_eps * denom2,
                 jnp.logical_and(
                     train_loss < best_tl - loss_eps, dev_loss < best_dl - loss_eps
                 ),
             )
             is_best = jnp.logical_or(strictly_better, jnp.logical_and(~first, tie))
 
-            new_best_num = jnp.where(strictly_better, num, best_num)
+            new_best_num = (
+                jnp.where(strictly_better, num_hi, best_hi),
+                jnp.where(strictly_better, num_lo, best_lo),
+            )
             new_best_tl = jnp.where(is_best, train_loss, best_tl)
             new_best_dl = jnp.where(is_best, dev_loss, best_dl)
             best_epoch = jnp.where(is_best, epoch, best_epoch)
@@ -157,10 +179,11 @@ def make_fused_fit(
             stopped = carry[-1]
             return jax.lax.cond(stopped, skip_epoch, run_epoch, carry, epoch)
 
+        init_num = _u64_pair(int(ib["best_num"])) if "best_num" in ib else _U64_UNSET
         init = (
             state,
             jax.tree.map(jnp.copy, {"params": state.params, "batch_stats": state.batch_stats}),
-            jnp.float32(ib.get("best_num", -1.0)),
+            (jnp.uint32(init_num[0]), jnp.uint32(init_num[1])),
             jnp.float32(ib.get("best_tl", jnp.inf)),
             jnp.float32(ib.get("best_dl", jnp.inf)),
             jnp.int32(start_epoch - 1),  # best_epoch (start_epoch-1 = the resumed ckpt)
@@ -197,8 +220,12 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
 
     Uploads both splits once, runs the fused program, converts the fetched
     history into the standard EpochMetrics list, and leaves the trainer's
-    state at the final epoch. ``trainer.best_variables()`` afterwards holds
-    the best-epoch {params, batch_stats} snapshot; the returned dict carries
+    state at the final epoch. If an epoch of THIS run became best,
+    ``trainer.best_variables()`` afterwards holds that epoch's
+    {params, batch_stats} snapshot and the result's ``best_variables`` is
+    set; a resumed run that never improves leaves the trainer's best
+    snapshot unset and returns ``best_variables=None`` (the earlier run's
+    on-disk best checkpoint remains the best). The returned dict carries
     the true best epoch and best train/dev losses, and the trainer's plateau
     scheduler + lr reflect the end of the run — a fused run checkpoints and
     resumes exactly like a per-epoch run.
@@ -217,7 +244,7 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
         start_epoch = restored["epoch"] + 1
         ts = restored["trainer_state"]
         if ts.get("best_eer") is not None:
-            init_best["best_num"] = float(ts["best_eer"]) * 2.0 * ns * nb
+            init_best["best_num"] = int(round(float(ts["best_eer"]) * 2.0 * ns * nb))
         if ts.get("best_train_loss") is not None:
             init_best["best_tl"] = ts["best_train_loss"]
         if ts.get("best_dev_loss") is not None:
@@ -229,14 +256,6 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
             if sd.get("best") is not None:
                 init_best["sched_best"] = sd["best"]
             init_best["sched_bad"] = sd.get("num_bad_epochs", 0)
-    from dfac_tpu.ops.eer import INT32_EXACT_MAX_N
-
-    if n_dev > INT32_EXACT_MAX_N:
-        raise ValueError(
-            f"fused fit supports dev splits up to {INT32_EXACT_MAX_N} rows "
-            "(int32-exact EER crossing inside the scan); use the per-epoch "
-            "trainer with host evaluation for larger splits"
-        )
     if trainer.state is None:
         trainer.init_state(train_ds.features[: max(cfg.batch_size, 1)])
     feats_all, labels_all = trainer._resident_arrays(train_ds)
@@ -307,8 +326,9 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
         trainer._best_params = best_vars["params"]
         trainer._best_batch_stats = best_vars["batch_stats"]
 
-    best_num = float(aux["best_num"])
-    have_best = best_num >= 0 and ns > 0 and nb > 0
+    num_hi, num_lo = (int(v) for v in aux["best_num"])
+    best_num = (num_hi << 32) | num_lo
+    have_best = (num_hi, num_lo) != _U64_UNSET and ns > 0 and nb > 0
     return {
         "best_eer": best_num / (2.0 * ns * nb) if have_best else None,
         "best_train_loss": float(aux["best_train_loss"]) if have_best else None,

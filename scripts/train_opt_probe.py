@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Round-3 training-throughput probe: isolate and attack the backward-pass
+costs named by the round-2 attribution (results/v5e_measurements.md):
+
+  * wgrad contractions under-filling the MXU (9 taps x CI=1/32/64),
+  * train-mode BatchNorm stat passes,
+  * dropout mask generation/multiplies.
+
+Stages:
+  1. isolated wgrad / dgrad per conv geometry (XLA's native lowering)
+  2. wgrad reformulations: patches-GEMM (tap-packed im2col) via
+     lax.conv_general_dilated_patches + dot_general
+  3. BN stat pass variants (fused mean+sq reduce vs dot-based)
+  4. full-step variants: baseline / remat / custom-vjp convs
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _small(tree):
+    """Reduce every output leaf to a scalar INSIDE the jit program, so the
+    host-fetch execution barrier never pulls a big tensor through the
+    remote relay (a 1.9 GB activation fetch kills the connection). A sum —
+    not a slice — so XLA cannot dead-code-eliminate any of the computation;
+    costs one extra read of the largest leaf (~2.4 ms for a 1.9 GB
+    activation at HBM bandwidth), tolerable noise here."""
+    return jax.tree.map(
+        lambda a: jnp.sum(a.astype(jnp.float32)) if hasattr(a, "ravel") else a, tree
+    )
+
+
+def bench(fn, *args, reps=5):
+    wrapped = jax.jit(lambda *a: _small(fn(*a)))
+    out = wrapped(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # host-fetch barrier (relay-safe)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = wrapped(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv(x, w):
+    # mirrors the model's flax nn.Conv(dtype=bf16): bf16 in, bf16 out, no
+    # preferred_element_type (whose VJP rejects mixed-dtype cotangents)
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=DN
+    )
+
+
+def stage1_isolated_grads(B, dt):
+    """Per-conv wgrad/dgrad times under XLA's native lowering."""
+    geoms = [
+        ("conv1", (B, 321, 180, 1), 32),
+        ("conv2", (B, 160, 180, 32), 64),
+        ("conv3", (B, 80, 180, 64), 128),
+    ]
+    print(f"\n== stage 1: isolated conv grads (B={B}, {dt.__name__ if hasattr(dt,'__name__') else dt}) ==")
+    for name, xshape, co in geoms:
+        ci = xshape[-1]
+        key = jax.random.key(0)
+        x = jax.jit(lambda k: jax.random.normal(k, xshape, jnp.float32).astype(dt))(key)
+        w = jax.jit(lambda k: jax.random.normal(k, (3, 3, ci, co), jnp.float32).astype(dt))(
+            jax.random.key(1)
+        )
+        dy = jax.jit(lambda k: jax.random.normal(k, xshape[:-1] + (co,), jnp.float32).astype(dt))(
+            jax.random.key(2)
+        )
+
+        fwd_t = bench(jax.jit(lambda x, w: conv(x, w)), x, w)
+
+        @jax.jit
+        def wgrad(x, w, dy):
+            _, vjp = jax.vjp(lambda w: conv(x, w), w)
+            return vjp(dy)[0]
+
+        @jax.jit
+        def dgrad(x, w, dy):
+            _, vjp = jax.vjp(lambda x: conv(x, w), x)
+            return vjp(dy)[0]
+
+        wg_t = bench(wgrad, x, w, dy)
+        dg_t = bench(dgrad, x, w, dy)
+        flops = 2 * 9 * ci * co * np.prod(xshape[:-1])
+        print(
+            f"  {name}: fwd {fwd_t*1e3:7.2f} ms ({flops/fwd_t/1e12:6.1f} TF/s) | "
+            f"wgrad {wg_t*1e3:7.2f} ms ({flops/wg_t/1e12:6.1f} TF/s) | "
+            f"dgrad {dg_t*1e3:7.2f} ms ({flops/dg_t/1e12:6.1f} TF/s)"
+        )
+
+
+def patches_wgrad(x, dy, ci, co):
+    """Tap-packed wgrad: one [9*CI, K] x [K, CO] GEMM via im2col patches."""
+    B, H, W, _ = x.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (3, 3), (1, 1), "SAME", dimension_numbers=DN
+    )  # (B, H, W, 9*ci) with channel-major tap order? (ci*9) — order checked in test
+    k = patches.reshape(-1, patches.shape[-1])
+    g = dy.reshape(-1, co)
+    dw = jax.lax.dot_general(
+        k, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (9*ci, co)
+    return dw
+
+
+def stage2_wgrad_reformulations(B, dt):
+    print(f"\n== stage 2: wgrad reformulations (B={B}) ==")
+    geoms = [
+        ("conv1", (B, 321, 180, 1), 32),
+        ("conv2", (B, 160, 180, 32), 64),
+        ("conv3", (B, 80, 180, 64), 128),
+    ]
+    for name, xshape, co in geoms:
+        ci = xshape[-1]
+        x = jax.jit(lambda k: jax.random.normal(k, xshape, jnp.float32).astype(dt))(jax.random.key(0))
+        dy = jax.jit(lambda k: jax.random.normal(k, xshape[:-1] + (co,), jnp.float32).astype(dt))(
+            jax.random.key(2)
+        )
+        t = bench(jax.jit(functools.partial(patches_wgrad, ci=ci, co=co)), x, dy)
+        flops = 2 * 9 * ci * co * np.prod(xshape[:-1])
+        print(f"  {name} patches-GEMM wgrad: {t*1e3:7.2f} ms ({flops/t/1e12:6.1f} TF/s)")
+
+
+def stage3_bn_stats(B, dt):
+    print(f"\n== stage 3: BN stat passes (B={B}) ==")
+    shapes = [(B, 321, 180, 32), (B, 160, 180, 64), (B, 80, 180, 128)]
+    for shape in shapes:
+        x = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32).astype(dt))(jax.random.key(0))
+        gb = np.prod(shape) * np.dtype(np.float32 if dt is jnp.float32 else np.float16).itemsize / 1e9
+
+        @jax.jit
+        def stats_reduce(x):
+            xf = x.astype(jnp.float32)
+            return jnp.mean(xf, axis=(0, 1, 2)), jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+
+        @jax.jit
+        def stats_normalize(x):
+            # the full train-mode BN: stats + normalize pass (two passes)
+            xf = x.astype(jnp.float32)
+            m = jnp.mean(xf, axis=(0, 1, 2))
+            msq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            v = jnp.maximum(msq - m * m, 0.0)
+            return ((x - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
+
+        t1 = bench(stats_reduce, x)
+        t2 = bench(stats_normalize, x)
+        print(
+            f"  {shape}: stats {t1*1e3:6.2f} ms ({gb/t1:6.0f} GB/s) | "
+            f"stats+norm {t2*1e3:6.2f} ms ({3*gb/t2:6.0f} GB/s eff)"
+        )
+
+
+def build_step(variant, B, dt, model, tx):
+    from dfac_tpu.utils.rng import train_key
+
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, 321, 180), jnp.float32))
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    x = jax.jit(lambda k: jax.random.normal(k, (B, 321, 180), jnp.float32))(jax.random.key(1))
+    y = jnp.asarray((np.arange(B) % 2).astype(np.float32))
+    key = train_key(0)
+
+    def loss_fn(p, bs, xin, dropkey):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": bs}, xin, train=True,
+            mutable=["batch_stats"], rngs={"dropout": dropkey},
+        )
+        per = optax.sigmoid_binary_cross_entropy(out[:, 0], y)
+        return jnp.mean(per), mut
+
+    if variant == "remat":
+        loss_inner = loss_fn
+
+        def loss_fn(p, bs, xin, dropkey):  # noqa: F811
+            return jax.checkpoint(
+                loss_inner, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )(p, bs, xin, dropkey)
+
+    @jax.jit
+    def full_step(p, bs, os_, xin, k):
+        (l, mut), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, xin, k)
+        updates, os2 = tx.update(g, os_, p)
+        p2 = optax.apply_updates(p, updates)
+        return l, p2, mut.get("batch_stats", bs), os2
+
+    return full_step, (params, batch_stats, opt_state, x, key)
+
+
+def stage4_full_steps(B, dt):
+    from dfac_tpu.models import build_model
+    from dfac_tpu.train.optim import build_optimizer
+
+    print(f"\n== stage 4: full-step variants (B={B}) ==")
+    model = build_model("cnn2d", compute_dtype=(None if dt is jnp.float32 else dt))
+    tx = build_optimizer("cnn2d", 1e-3)
+    for variant in ("baseline", "remat"):
+        step, args = build_step(variant, B, dt, model, tx)
+        t = bench(step, *args)
+        print(f"  {variant:10s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--stages", default="1,2,3,4")
+    args = ap.parse_args()
+    dt = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    stages = set(args.stages.split(","))
+    print(f"devices: {jax.devices()}")
+    if "1" in stages:
+        stage1_isolated_grads(args.batch, dt)
+    if "2" in stages:
+        stage2_wgrad_reformulations(args.batch, dt)
+    if "3" in stages:
+        stage3_bn_stats(args.batch, dt)
+    if "4" in stages:
+        stage4_full_steps(args.batch, dt)
+
+
+if __name__ == "__main__":
+    main()

