@@ -33,6 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--fused-fit", action="store_true",
                    help="the WHOLE run (epochs + validation + best rule + "
                    "plateau + early stop) as one dispatched program")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
@@ -65,6 +67,7 @@ def main(argv=None):
         base_channels=args.base_channels,
         seed=args.seed,
         device_resident=args.device_resident,
+        data_parallel=args.data_parallel,
     )
     visualizer = create_cae_visualizer("noop" if args.quiet else ("plain" if args.no_rich else "rich"))
     trainer = CAETrainer(cfg, visualizer=visualizer)

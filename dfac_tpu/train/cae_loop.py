@@ -58,6 +58,11 @@ class CAEConfig:
     swap_tf: bool = True
     eval_batch_size: int | None = None
     device_resident: bool = False  # corpus in HBM; epoch = one scan program
+    data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
+
+    def __post_init__(self):
+        if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
+            raise ValueError("batch_size must divide evenly over data_parallel shards")
 
 
 def make_cae_train_step(model, tx, mean, std):
@@ -93,6 +98,64 @@ def make_cae_train_step(model, tx, mean, std):
         )
 
     return train_step
+
+
+def make_cae_dp_train_step(model, tx, mean, std, mesh, axis_name: str = "data"):
+    """shard_map data-parallel CAE train step over ``mesh``'s 'data' axis.
+
+    Mirrors :func:`dfac_tpu.parallel.data_parallel.make_shard_map_train_step`
+    (reference trainer: ``src/train_cae.py:58-82``, single-device): the
+    bonafide batch splits over shards, BatchNorm batch statistics sync with
+    ``lax.pmean`` (the model must be built with ``axis_name='data'``), and
+    gradients come out of shard_map's AD as the gradient of the *global*
+    weighted sum (params enter replicated, so cross-shard psum on their
+    cotangents is automatic); one division by the global count yields the
+    exact global-batch mean gradient. Dropout keys fold in the shard index
+    so each shard draws independent masks.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(state, feats, weights):
+        next_key, drop_key = jax.random.split(state.key)
+        drop_key = jax.random.fold_in(drop_key, jax.lax.axis_index(axis_name))
+        x = (jnp.transpose(feats, (0, 2, 1)) - mean) / std
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (recon, _), mutated = model.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": drop_key}
+            )
+            per = reconstruction_mse(recon, x)
+            return jnp.sum(per * weights), mutated
+
+        (local_sum, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        count = jax.lax.psum(jnp.sum(weights), axis_name)
+        grads = jax.tree.map(lambda g: g / jnp.maximum(count, 1.0), grads)
+        loss_sum = jax.lax.psum(local_sum, axis_name)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                params=new_params,
+                batch_stats=mutated.get("batch_stats", state.batch_stats),
+                opt_state=new_opt_state,
+                key=next_key,
+            ),
+            loss_sum,
+            count,
+        )
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)),
+            out_specs=(P(), P(), P()),
+        )
+    )
 
 
 def make_cae_indexed_step(model, tx, mean, std):
@@ -330,7 +393,16 @@ class CAETrainer:
     def __init__(self, cfg: CAEConfig, visualizer: TrainingVisualizer | None = None):
         self.cfg = cfg
         self.visualizer = visualizer or NoOpVisualizer()
-        self.model = build_model("cae", base_channels=cfg.base_channels)
+        model_kwargs = {}
+        if cfg.data_parallel > 1:
+            # BatchNorm stats must sync over the mesh in the shard_map path
+            model_kwargs["axis_name"] = "data"
+        self.model = build_model("cae", base_channels=cfg.base_channels, **model_kwargs)
+        self.mesh = None
+        if cfg.data_parallel > 1:
+            from dfac_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_data=cfg.data_parallel)
         self.tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.lr, weight_decay=cfg.weight_decay
         )
@@ -375,7 +447,19 @@ class CAETrainer:
         )
         mean = jnp.asarray(self.normalizer.mean)
         std = jnp.asarray(self.normalizer.std)
-        train_step = make_cae_train_step(self.model, self.tx, mean, std)
+        dp = cfg.data_parallel
+        if dp > 1:
+            tail = len(bona_train) % cfg.batch_size
+            if tail % dp != 0:
+                raise ValueError(
+                    f"data-parallel CAE training needs every batch (including "
+                    f"the {tail}-row tail of the {len(bona_train)}-row bonafide "
+                    f"corpus) to divide over {dp} shards — pick a batch_size "
+                    "with tail % data_parallel == 0, or truncate the corpus"
+                )
+            train_step = make_cae_dp_train_step(self.model, self.tx, mean, std, self.mesh)
+        else:
+            train_step = make_cae_train_step(self.model, self.tx, mean, std)
 
         init_key, _ = jax.random.split(jax.random.key(cfg.seed))
         state_key = train_key(cfg.seed)  # TPU-fast rbg chain for dropout
@@ -413,7 +497,8 @@ class CAETrainer:
 
         epoch_scan = None
         feats_resident = None
-        if cfg.device_resident:
+        resident = cfg.device_resident and cfg.data_parallel <= 1
+        if resident:
             feats_resident = jax.device_put(jnp.asarray(bona_train.features))
             epoch_scan = make_cae_epoch_scan(
                 self.model, self.tx, mean, std,
@@ -434,7 +519,7 @@ class CAETrainer:
                     self.state, total, count = epoch_scan(
                         self.state, feats_resident, np.int64(cfg.seed * 100003 + epoch)
                     )
-                elif cfg.device_resident:
+                elif resident:
                     # live UI wants per-batch updates: per-batch dispatch,
                     # but the corpus stays resident and each step gathers
                     # its batch on device via an int32 index vector only
@@ -527,6 +612,13 @@ class CAETrainer:
         import os
 
         cfg = self.cfg
+        if cfg.data_parallel > 1:
+            raise ValueError(
+                "fit_fused is the single-device one-dispatch path; for "
+                "multi-chip CAE training use fit() with data_parallel (the "
+                "shard_map DP step), or shard the fused program via GSPMD "
+                "input shardings on a non-axis_name model"
+            )
         bona_train = train_ds.filter_label(1) if train_ds.labels is not None else train_ds
         bona_dev = dev_ds.filter_label(1) if dev_ds.labels is not None else dev_ds
         self.normalizer = normalizer or build_normalizer(

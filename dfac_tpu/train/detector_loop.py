@@ -55,6 +55,11 @@ class DetectorConfig:
     seed: int = 42
     compute_dtype: str | None = None
     device_resident: bool = False  # corpus in HBM; epoch = one scan program
+    data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
+
+    def __post_init__(self):
+        if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
+            raise ValueError("batch_size must divide evenly over data_parallel shards")
 
 
 class DetectorState(struct.PyTreeNode):
@@ -72,13 +77,17 @@ def compute_class_weights(labels: np.ndarray) -> tuple[float, float, float]:
     return neg / max(pos, 1), 1.0 / max(neg, 1), 1.0 / max(pos, 1)
 
 
+def pos_weight_bce_per(logits, labels, pos_weight: float):
+    """Per-sample torch BCEWithLogitsLoss(pos_weight=...) terms."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
+
+
 def pos_weight_bce(logits, labels, pos_weight: float):
     """torch BCEWithLogitsLoss(pos_weight=...): weight the positive term
     only, then plain mean."""
-    log_p = jax.nn.log_sigmoid(logits)
-    log_not_p = jax.nn.log_sigmoid(-logits)
-    per = -(pos_weight * labels * log_p + (1.0 - labels) * log_not_p)
-    return jnp.mean(per)
+    return jnp.mean(pos_weight_bce_per(logits, labels, pos_weight))
 
 
 def make_detector_train_step(model, tx, cfg: DetectorConfig, pos_weight: float):
@@ -123,6 +132,81 @@ def make_detector_train_step(model, tx, cfg: DetectorConfig, pos_weight: float):
         )
 
     return train_step
+
+
+def make_detector_dp_train_step(
+    model, tx, cfg: DetectorConfig, pos_weight: float, mesh, axis_name: str = "data"
+):
+    """shard_map data-parallel detector train step over ``mesh``'s 'data'
+    axis (reference trainer: ``src/dlqueen_model.py:332-395``, single-GPU
+    AMP; here the batch splits over shards instead).
+
+    Numerically equivalent to the single-device step on the concatenated
+    global batch: BatchNorm stats pmean over shards (model built with
+    ``axis_name='data'``), the masked StatsPool is per-sample so it shards
+    cleanly, gradients emerge from shard_map AD as the global-sum gradient
+    (replicated params), one division by the global count gives the exact
+    global-mean gradient, and grad-clip/AdamW/EMA run replicated on the
+    identical psum'd gradient. SpecAugment/dropout keys fold in the shard
+    index for independent per-shard draws.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(state: DetectorState, feats, lengths, labels, weights):
+        next_key, aug_key, drop_key = jax.random.split(state.key, 3)
+        shard_i = jax.lax.axis_index(axis_name)
+        drop_key = jax.random.fold_in(drop_key, shard_i)
+        x = jnp.transpose(feats, (0, 2, 1))  # (B/shards, T, C)
+        if cfg.specaug:
+            aug_key = jax.random.fold_in(aug_key, shard_i)
+            x = dlqueen_spec_augment(
+                aug_key, x, cfg.time_mask_max, cfg.time_mask_n,
+                cfg.freq_mask_max, cfg.freq_mask_n,
+            )
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, mutated = model.apply(
+                variables, x, lengths=lengths, train=True,
+                mutable=["batch_stats"], rngs={"dropout": drop_key},
+            )
+            per = pos_weight_bce_per(logits.reshape(-1), labels, pos_weight)
+            return jnp.sum(per * weights), mutated
+
+        (local_sum, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        count = jax.lax.psum(jnp.sum(weights), axis_name)
+        grads = jax.tree.map(lambda g: g / jnp.maximum(count, 1.0), grads)
+        loss_sum = jax.lax.psum(local_sum, axis_name)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            jax.tree.map(
+                lambda e, p: cfg.ema_decay * e + (1.0 - cfg.ema_decay) * p,
+                state.ema_params, new_params,
+            )
+            if cfg.ema
+            else state.ema_params
+        )
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            ema_params=new_ema,
+            opt_state=new_opt_state,
+            key=next_key,
+        )
+        # mean loss, like the single-device step's jnp.mean
+        return new_state, loss_sum / jnp.maximum(count, 1.0)
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=(P(), P()),
+        )
+    )
 
 
 def make_detector_epoch_scan(
@@ -294,9 +378,17 @@ class DetectorTrainer:
         kw = {}
         if cfg.compute_dtype:
             kw["compute_dtype"] = jnp.dtype(cfg.compute_dtype)
+        if cfg.data_parallel > 1:
+            # BatchNorm stats must sync over the mesh in the shard_map path
+            kw["axis_name"] = "data"
         self.model = build_model(
             "detector", in_channels=in_channels, hidden=cfg.hidden, dropout=cfg.dropout, **kw
         )
+        self.mesh = None
+        if cfg.data_parallel > 1:
+            from dfac_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_data=cfg.data_parallel)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip > 0 else optax.identity(),
             optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
@@ -346,12 +438,32 @@ class DetectorTrainer:
             opt_state=self.tx.init(variables["params"]),
             key=state_key,
         )
-        train_step = make_detector_train_step(self.model, self.tx, cfg, pos_weight)
-
         n = len(train_ds)
+        dp = cfg.data_parallel
+        if dp > 1:
+            tail = n % cfg.batch_size
+            if tail % dp != 0:
+                raise ValueError(
+                    f"data-parallel detector training needs every batch "
+                    f"(including the {tail}-row tail of the {n}-sample epoch) "
+                    f"to divide over {dp} shards — pick a batch_size with "
+                    "tail % data_parallel == 0"
+                )
+            dp_step = make_detector_dp_train_step(
+                self.model, self.tx, cfg, pos_weight, self.mesh
+            )
+
+            def train_step(state, feats, lens, labels):
+                return dp_step(
+                    state, feats, lens, labels,
+                    jnp.ones((feats.shape[0],), jnp.float32),
+                )
+        else:
+            train_step = make_detector_train_step(self.model, self.tx, cfg, pos_weight)
+
         n_batches_epoch = -(-n // cfg.batch_size)
         epoch_scan = feats_d = lengths_d = labels_d = None
-        if cfg.device_resident:
+        if cfg.device_resident and dp <= 1:
             epoch_scan = make_detector_epoch_scan(
                 self.model, self.tx, cfg, pos_weight, n, cfg.batch_size
             )
@@ -365,7 +477,7 @@ class DetectorTrainer:
         for epoch in range(1, cfg.epochs + 1):
             # weighted sampling WITH replacement, num_samples = N (reference)
             order = rng.choice(n, size=n, replace=True, p=sample_p)
-            if cfg.device_resident:
+            if cfg.device_resident and dp <= 1:
                 self.state, total_loss = epoch_scan(
                     self.state, feats_d, lengths_d, labels_d,
                     jnp.asarray(order.astype(np.int32)),
@@ -421,6 +533,12 @@ class DetectorTrainer:
         from the identical numpy rng sequence and shipped as one (epochs, N)
         matrix)."""
         cfg = self.cfg
+        if cfg.data_parallel > 1:
+            raise ValueError(
+                "fit_fused is the single-device one-dispatch path; for "
+                "multi-chip detector training use fit() with data_parallel "
+                "(the shard_map DP step)"
+            )
         if cfg.epochs <= 0:
             return {"best_eer": float("inf"), "history": []}
         rng = np.random.default_rng(cfg.seed)

@@ -234,6 +234,14 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
     checkpoint and continues the fused scan at the next epoch.
     """
     cfg = trainer.cfg
+    if cfg.data_parallel > 1:
+        raise ValueError(
+            "fit_fused is the single-device one-dispatch path (the trainer's "
+            "shard_map-DP model syncs BatchNorm with an axis_name that is "
+            "unbound outside shard_map); for multi-chip fused training run "
+            "the fused program with GSPMD input shardings on a "
+            "non-axis_name model instead (see __graft_entry__.dryrun_multichip)"
+        )
     start_epoch = 1
     init_best: dict = {}
     nb = int(np.sum(dev_ds.labels))

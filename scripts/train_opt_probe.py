@@ -47,6 +47,14 @@ def _small(tree):
     )
 
 
+def _scalarize(tree):
+    leaves = [v for v in jax.tree.leaves(_small(tree))]
+    out = leaves[0]
+    for leaf in leaves[1:]:
+        out = out + leaf
+    return out
+
+
 def bench(fn, *args, reps=5):
     wrapped = jax.jit(lambda *a: _small(fn(*a)))
     out = wrapped(*args)
@@ -58,6 +66,41 @@ def bench(fn, *args, reps=5):
         np.asarray(jax.tree.leaves(out)[0])
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def bench_slope(fn, *args, perturb: int = 0, iters=(4, 12), reps=4):
+    """Per-call on-device time of ``fn`` with the ~28 ms relay dispatch
+    overhead cancelled: run N iterations of ``fn`` inside ONE lax.scan
+    program for two values of N and take the slope. A tiny carry-dependent
+    perturbation (+carry*1e-30 on args[perturb]) chains the iterations so
+    XLA cannot hoist or CSE the loop body; it adds one elementwise pass
+    over that argument per iteration (identical across compared variants).
+    """
+
+    def make(n):
+        @jax.jit
+        def run(*a0):
+            def body(carry, _):
+                a = list(a0)
+                a[perturb] = a[perturb] + (carry * 1e-30).astype(a[perturb].dtype)
+                return _scalarize(fn(*a)), None
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return s
+
+        return run
+
+    times = []
+    for n in iters:
+        f = make(n)
+        f(*args)
+        np.asarray(f(*args))  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    return (times[1] - times[0]) / (iters[1] - iters[0])
 
 
 DN = ("NHWC", "HWIO", "NHWC")
@@ -90,7 +133,7 @@ def stage1_isolated_grads(B, dt):
             jax.random.key(2)
         )
 
-        fwd_t = bench(jax.jit(lambda x, w: conv(x, w)), x, w)
+        fwd_t = bench_slope(lambda x, w: conv(x, w), x, w)
 
         @jax.jit
         def wgrad(x, w, dy):
@@ -102,8 +145,8 @@ def stage1_isolated_grads(B, dt):
             _, vjp = jax.vjp(lambda x: conv(x, w), x)
             return vjp(dy)[0]
 
-        wg_t = bench(wgrad, x, w, dy)
-        dg_t = bench(dgrad, x, w, dy)
+        wg_t = bench_slope(wgrad, x, w, dy)
+        dg_t = bench_slope(dgrad, x, w, dy)
         flops = 2 * 9 * ci * co * np.prod(xshape[:-1])
         print(
             f"  {name}: fwd {fwd_t*1e3:7.2f} ms ({flops/fwd_t/1e12:6.1f} TF/s) | "
@@ -139,7 +182,7 @@ def stage2_wgrad_reformulations(B, dt):
         dy = jax.jit(lambda k: jax.random.normal(k, xshape[:-1] + (co,), jnp.float32).astype(dt))(
             jax.random.key(2)
         )
-        t = bench(jax.jit(functools.partial(patches_wgrad, ci=ci, co=co)), x, dy)
+        t = bench_slope(functools.partial(patches_wgrad, ci=ci, co=co), x, dy)
         flops = 2 * 9 * ci * co * np.prod(xshape[:-1])
         print(f"  {name} patches-GEMM wgrad: {t*1e3:7.2f} ms ({flops/t/1e12:6.1f} TF/s)")
 
@@ -165,8 +208,8 @@ def stage3_bn_stats(B, dt):
             v = jnp.maximum(msq - m * m, 0.0)
             return ((x - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
 
-        t1 = bench(stats_reduce, x)
-        t2 = bench(stats_normalize, x)
+        t1 = bench_slope(stats_reduce, x)
+        t2 = bench_slope(stats_normalize, x)
         print(
             f"  {shape}: stats {t1*1e3:6.2f} ms ({gb/t1:6.0f} GB/s) | "
             f"stats+norm {t2*1e3:6.2f} ms ({3*gb/t2:6.0f} GB/s eff)"
@@ -218,7 +261,7 @@ def stage4_full_steps(B, dt):
     tx = build_optimizer("cnn2d", 1e-3)
     for variant in ("baseline", "remat"):
         step, args = build_step(variant, B, dt, model, tx)
-        t = bench(step, *args)
+        t = bench_slope(step, *args, perturb=3)
         print(f"  {variant:10s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
 
 
