@@ -26,6 +26,9 @@ def parse_args(argv=None):
     p.add_argument("--base-channels", type=int, default=32)
     p.add_argument("--compare-with", default=None,
                    help="existing prediction.pkl to diff against")
+    p.add_argument("--fast", action="store_true",
+                   help="folded-BN fused serving chains for BOTH legs "
+                   "(bf16 with f32 accumulation; cnn2d/cnn1d + CAE)")
     p.add_argument("--device", default=None)
     return p.parse_args(argv)
 
@@ -52,14 +55,28 @@ def main(argv=None):
 
     ds = load_dataset(args.features)
 
-    cnn = build_model(args.cnn_model, in_features=args.in_features)
     cnn_vars = load_model_variables(args.cnn_checkpoint, model_name=args.cnn_model)
-    sup = predict_scores(cnn, cnn_vars, ds, args.batch_size, apply_sigmoid=True)
-
-    cae = build_model("cae", base_channels=args.base_channels)
     cae_vars = load_model_variables(args.cae_checkpoint, model_name="cae")
     normalizer = FeatureNormalizer.load(args.normalizer)
-    cae_s = cae_mse_scores(cae, cae_vars, ds, normalizer, args.batch_size)
+
+    if args.fast:
+        # both legs through the folded-BN fused chains (models/fast_infer.py)
+        from dfac_tpu.models.fast_infer import cae_mse_scores_fast
+
+        if args.cnn_model == "cnn2d":
+            from dfac_tpu.models.fast_infer import predict_scores_fast
+
+            sup = predict_scores_fast(cnn_vars, ds, args.batch_size, apply_sigmoid=True)
+        else:
+            from dfac_tpu.models.fast_infer import predict_scores_fast_cnn1d
+
+            sup = predict_scores_fast_cnn1d(cnn_vars, ds, args.batch_size, apply_sigmoid=True)
+        cae_s = cae_mse_scores_fast(cae_vars, ds, normalizer, args.batch_size)
+    else:
+        cnn = build_model(args.cnn_model, in_features=args.in_features)
+        sup = predict_scores(cnn, cnn_vars, ds, args.batch_size, apply_sigmoid=True)
+        cae = build_model("cae", base_channels=args.base_channels)
+        cae_s = cae_mse_scores(cae, cae_vars, ds, normalizer, args.batch_size)
 
     hybrid = fuse_scores(sup, cae_s, alpha=args.alpha)
     write_predictions(args.out, ds.uttids, hybrid)

@@ -146,6 +146,208 @@ def predict_scores_fast(
     )
 
 
+def fold_cnn1d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
+    """Fold BatchNorm1d stats into the CNN1D conv kernels/biases
+    (reference eval path ``src/model_cnn1d.py:37-46``); same algebra as
+    :func:`fold_cnn2d` with (K, CI, CO) kernels."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    folded = {}
+    for i in range(1, num_blocks + 1):
+        k = jnp.asarray(p[f"conv{i}"]["conv"]["kernel"], jnp.float32)
+        b = jnp.asarray(p[f"conv{i}"]["conv"]["bias"], jnp.float32)
+        scale = jnp.asarray(p[f"bn{i}"]["scale"], jnp.float32)
+        shift = jnp.asarray(p[f"bn{i}"]["bias"], jnp.float32)
+        mean = jnp.asarray(bs[f"bn{i}"]["mean"], jnp.float32)
+        var = jnp.asarray(bs[f"bn{i}"]["var"], jnp.float32)
+        inv = scale * jax.lax.rsqrt(var + eps)
+        folded[f"w{i}"] = k * inv
+        folded[f"b{i}"] = (b - mean) * inv + shift
+    folded["w_cls"] = jnp.asarray(p["classifier"]["dense"]["kernel"], jnp.float32)
+    folded["b_cls"] = jnp.asarray(p["classifier"]["dense"]["bias"], jnp.float32)
+    return folded
+
+
+@functools.partial(jax.jit, static_argnames=("swap_tf", "apply_sigmoid", "compute_dtype"))
+def cnn1d_fast_scores(
+    folded: dict,
+    feats: jax.Array,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """CNN1D serving chain with folded BN: features -> (B,) scores.
+
+    ``swap_tf=True`` means ``feats`` is stored-orientation (B, F, T) and
+    the 180 feature dims are the conv channels (reference
+    ``src/predict.py:100-111`` transpose semantics). Equivalent to
+    ``sigmoid(CNN1D.apply(vars, swap(feats)))`` with BN in eval mode;
+    dropout is inert at eval so the chain is conv -> bias -> ReLU x3,
+    mean over time, classifier matmul — one fused program.
+    """
+    dt = compute_dtype
+    h = (jnp.swapaxes(feats, 1, 2) if swap_tf else feats).astype(dt)  # (B, T, F)
+    for i in (1, 2, 3):
+        h = jax.lax.conv_general_dilated(
+            h, folded[f"w{i}"].astype(dt), (1,), "SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        )
+        h = jnp.maximum(h + folded[f"b{i}"], 0.0).astype(dt)
+    hm = jnp.mean(h.astype(jnp.float32), axis=1)  # (B, C)
+    logits = hm.astype(dt) @ folded["w_cls"].astype(dt) + folded["b_cls"]
+    logits = logits[:, 0].astype(jnp.float32)
+    return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+
+def fold_cae(variables: dict, eps: float = 1e-5) -> dict:
+    """Fold the ConvAutoencoder's eval-mode BatchNorms into its conv /
+    conv-transpose kernels and biases.
+
+    Encoder blocks 1-4 (``enc_conv{i}`` + ``enc_bn{i}``) fold exactly like
+    the classifier convs. Decoder blocks 1-3 (``dec_convt{i}`` +
+    ``dec_bn{i}``): the transposed-conv's ``output_padding`` rows carry
+    only the bias pre-BN, and the folded bias ``(b - mean)*inv + shift``
+    reproduces BN(bias) on those rows too, so folding stays exact. Block 4
+    has no BN (reference ``src/model_cae.py:61-81``) and passes through.
+    """
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    folded = {}
+    for i in range(1, 5):
+        k = jnp.asarray(p[f"enc_conv{i}"]["conv"]["kernel"], jnp.float32)
+        b = jnp.asarray(p[f"enc_conv{i}"]["conv"]["bias"], jnp.float32)
+        scale = jnp.asarray(p[f"enc_bn{i}"]["scale"], jnp.float32)
+        shift = jnp.asarray(p[f"enc_bn{i}"]["bias"], jnp.float32)
+        mean = jnp.asarray(bs[f"enc_bn{i}"]["mean"], jnp.float32)
+        var = jnp.asarray(bs[f"enc_bn{i}"]["var"], jnp.float32)
+        inv = scale * jax.lax.rsqrt(var + eps)
+        folded[f"enc_w{i}"] = k * inv
+        folded[f"enc_b{i}"] = (b - mean) * inv + shift
+    for i in range(1, 5):
+        k = jnp.asarray(p[f"dec_convt{i}"]["convt"]["kernel"], jnp.float32)
+        b = jnp.asarray(p[f"dec_convt{i}"]["bias"], jnp.float32)
+        if i < 4:
+            scale = jnp.asarray(p[f"dec_bn{i}"]["scale"], jnp.float32)
+            shift = jnp.asarray(p[f"dec_bn{i}"]["bias"], jnp.float32)
+            mean = jnp.asarray(bs[f"dec_bn{i}"]["mean"], jnp.float32)
+            var = jnp.asarray(bs[f"dec_bn{i}"]["var"], jnp.float32)
+            inv = scale * jax.lax.rsqrt(var + eps)
+            folded[f"dec_w{i}"] = k * inv
+            folded[f"dec_b{i}"] = (b - mean) * inv + shift
+        else:
+            folded[f"dec_w{i}"] = k
+            folded[f"dec_b{i}"] = b
+    return folded
+
+
+@functools.partial(jax.jit, static_argnames=("swap_tf", "compute_dtype"))
+def cae_fast_mse(
+    folded: dict,
+    feats: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    swap_tf: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Normalize -> folded encoder/decoder -> per-sample MSE as ONE program.
+
+    The CAE leg of the hybrid submission path (reference
+    ``src/predict_hybrid.py:66-78``: ``NormedFeatureDataset`` + per-sample
+    ``MSE(CAE(norm(x^T)))``), with eval-mode BN folded into the convs and
+    the floor-mode (2,2) pools as stride-2 depthwise convolutions. Returns
+    (B,) float32 per-sample reconstruction MSE over (T, F).
+    """
+    dt = compute_dtype
+    x = jnp.swapaxes(feats, 1, 2) if swap_tf else feats  # (B, T, F)
+    x = (x.astype(jnp.float32) - mean) / std
+    t_orig = x.shape[1]
+    h = x[..., None].astype(dt)
+
+    t_sizes, f_sizes = [], []
+    for i in (1, 2, 3, 4):
+        h = jax.lax.conv_general_dilated(
+            h, folded[f"enc_w{i}"].astype(dt), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        h = jnp.maximum(h + folded[f"enc_b{i}"], 0.0).astype(dt)
+        t_sizes.append(h.shape[1])
+        f_sizes.append(h.shape[2])
+        h = _depthwise_avg_pool(h, (2, 2))
+
+    # decoder output_padding from the encoder shape trace — identical rule
+    # to models/cae.py (T's output stage stays 0: emit-then-pad semantics)
+    f_pads = [f_sizes[k] - 2 * (f_sizes[k] // 2) for k in (3, 2, 1, 0)]
+    t_pads = [t_sizes[k] - 2 * (t_sizes[k] // 2) for k in (3, 2, 1)] + [0]
+    for i, (op_t, op_f) in enumerate(zip(t_pads, f_pads), start=1):
+        h = jax.lax.conv_transpose(
+            h, folded[f"dec_w{i}"].astype(dt), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if op_t or op_f:
+            h = jnp.pad(h, ((0, 0), (0, op_t), (0, op_f), (0, 0)))
+        h = h + folded[f"dec_b{i}"]
+        if i < 4:
+            h = jnp.maximum(h, 0.0)
+        h = h.astype(dt)
+
+    t_recon = h.shape[1]
+    if t_recon < t_orig:
+        h = jnp.pad(h, ((0, 0), (0, t_orig - t_recon), (0, 0), (0, 0)))
+    elif t_recon > t_orig:
+        h = h[:, :t_orig]
+    recon = h[..., 0].astype(jnp.float32)  # (B, T, F)
+    return jnp.mean(jnp.square(recon - x), axis=(1, 2))
+
+
+def predict_scores_fast_cnn1d(
+    variables: dict,
+    ds,
+    batch_size: int = 512,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Whole-dataset CNN1D scoring through the folded-BN chain; (N,) f32."""
+    from dfac_tpu.train.evaluate import collect_masked_scores
+
+    folded = fold_cnn1d(variables)
+    return collect_masked_scores(
+        lambda batch: cnn1d_fast_scores(
+            folded, jnp.asarray(batch.features), swap_tf=swap_tf,
+            apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+        ),
+        ds, batch_size,
+    )
+
+
+def cae_mse_scores_fast(
+    variables: dict,
+    ds,
+    normalizer,
+    batch_size: int = 128,
+    swap_tf: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Whole-dataset CAE per-sample MSE through the folded one-program
+    chain (the fast counterpart of
+    :func:`dfac_tpu.train.cae_loop.cae_mse_scores`); (N,) f32 in order."""
+    from dfac_tpu.train.evaluate import collect_masked_scores
+
+    folded = fold_cae(variables)
+    mean = jnp.asarray(normalizer.mean)
+    std = jnp.asarray(normalizer.std)
+    return collect_masked_scores(
+        lambda batch: cae_fast_mse(
+            folded, jnp.asarray(batch.features), mean, std,
+            swap_tf=swap_tf, compute_dtype=compute_dtype,
+        ),
+        ds, batch_size,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("apply_sigmoid", "compute_dtype"))
 def cnn2d_fast_scores_tf(
     folded: dict,

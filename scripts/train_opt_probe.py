@@ -265,6 +265,68 @@ def stage4_full_steps(B, dt):
         print(f"  {variant:10s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
 
 
+def stage5_step_bracket(B, dt):
+    """Slope-timed bracket of the REAL model step: where do the ~100 ms go?"""
+    from dfac_tpu.models import build_model
+    from dfac_tpu.train.optim import build_optimizer
+    from dfac_tpu.utils.rng import train_key
+
+    print(f"\n== stage 5: model-step bracket (B={B}) ==")
+    tx = build_optimizer("cnn2d", 1e-3)
+    cd = None if dt is jnp.float32 else dt
+
+    def setup(dropout):
+        model = build_model("cnn2d", compute_dtype=cd, dropout=dropout)
+        variables = model.init(
+            {"params": jax.random.key(0)}, jnp.zeros((1, 321, 180), jnp.float32)
+        )
+        return model, variables["params"], variables.get("batch_stats", {})
+
+    model, params, batch_stats = setup(0.2)
+    model0, params0, batch_stats0 = setup(0.0)
+    opt_state = tx.init(params)
+    x = jax.jit(lambda k: jax.random.normal(k, (B, 321, 180), jnp.float32))(jax.random.key(1))
+    y = jnp.asarray((np.arange(B) % 2).astype(np.float32))
+    key = train_key(0)
+
+    def loss_of(m):
+        def loss_fn(p, bs, xin, dropkey):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": bs}, xin, train=True,
+                mutable=["batch_stats"], rngs={"dropout": dropkey},
+            )
+            per = optax.sigmoid_binary_cross_entropy(out[:, 0], y)
+            return jnp.mean(per), mut
+
+        return loss_fn
+
+    loss_fn = loss_of(model)
+    loss_fn0 = loss_of(model0)
+
+    rows = [
+        ("fwd eval", lambda p, bs, xin, k: model.apply({"params": p, "batch_stats": bs}, xin), 2),
+        ("fwd train (no dropout)", lambda p, bs, xin, k: loss_fn0(p, bs, xin, k)[0], 2),
+        ("fwd train (dropout)", lambda p, bs, xin, k: loss_fn(p, bs, xin, k)[0], 2),
+        ("fwd+bwd (no dropout)",
+         lambda p, bs, xin, k: jax.value_and_grad(loss_fn0, has_aux=True)(p, bs, xin, k)[1], 2),
+        ("fwd+bwd (dropout)",
+         lambda p, bs, xin, k: jax.value_and_grad(loss_fn, has_aux=True)(p, bs, xin, k)[1], 2),
+    ]
+    for name, fn, pidx in rows:
+        which = params0 if "no dropout" in name else params
+        bs_in = batch_stats0 if "no dropout" in name else batch_stats
+        t = bench_slope(fn, which, bs_in, x, key, perturb=pidx)
+        print(f"  {name:24s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
+
+    def full(p, bs, os_, xin, k):
+        (l, mut), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, xin, k)
+        updates, os2 = tx.update(g, os_, p)
+        return l, optax.apply_updates(p, updates), mut.get("batch_stats", bs), os2
+
+    t = bench_slope(full, params, batch_stats, opt_state, x, key, perturb=3)
+    print(f"  {'full step':24s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -282,6 +344,8 @@ def main():
         stage3_bn_stats(args.batch, dt)
     if "4" in stages:
         stage4_full_steps(args.batch, dt)
+    if "5" in stages:
+        stage5_step_bracket(args.batch, dt)
 
 
 if __name__ == "__main__":

@@ -134,3 +134,32 @@ def out_path_prev(corpus, artifacts, tmp_path):
         "--in-features", str(F_),
     ])
     return prev
+
+
+def test_predict_hybrid_fast_matches_slow(corpus, artifacts, tmp_path, capsys):
+    """--fast routes BOTH legs through the folded fused chains; fused
+    predictions must track the reference chains closely (bf16 compute)."""
+    from dfac_tpu.cli import predict_hybrid as pred_cli
+
+    slow_path = str(tmp_path / "slow.pkl")
+    fast_path = str(tmp_path / "fast.pkl")
+    common = [
+        "--features", str(corpus / "dev/features.pkl"),
+        "--cnn-checkpoint", str(artifacts / "cnn2d_best.ckpt"),
+        "--cae-checkpoint", str(artifacts / "cae_best.ckpt"),
+        "--normalizer", str(artifacts / "normalizer.npz"),
+        "--alpha", "0.8", "--batch-size", "8",
+        "--in-features", str(F_), "--base-channels", "4",
+    ]
+    pred_cli.main(common + ["--out", slow_path])
+    pred_cli.main(common + ["--out", fast_path, "--fast"])
+    capsys.readouterr()
+    slow = pd.read_pickle(slow_path)["predictions"].to_numpy()
+    fast = pd.read_pickle(fast_path)["predictions"].to_numpy()
+    # min-max normalized fused scores on [0,1]; bf16 leg tolerance
+    np.testing.assert_allclose(fast, slow, atol=0.05)
+    # ranking must be essentially preserved (hybrid EER depends on order)
+    from scipy.stats import spearmanr
+
+    rho = spearmanr(fast, slow).statistic
+    assert rho > 0.99

@@ -146,3 +146,61 @@ def test_e2e_transpose_free_serving_chain(rng):
         )
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def _randomize_bn(variables, rng):
+    bs = variables.get("batch_stats", {})
+    for name, d in bs.items():
+        d["mean"] = jnp.asarray(rng.normal(size=d["mean"].shape) * 0.3, jnp.float32)
+        d["var"] = jnp.asarray(rng.random(d["var"].shape) + 0.5, jnp.float32)
+    return variables
+
+
+def test_cnn1d_fast_path_matches_reference_path(rng):
+    from dfac_tpu.models.fast_infer import cnn1d_fast_scores, fold_cnn1d
+
+    model = build_model("cnn1d", in_channels=F_, base_channels=8)
+    variables = _randomize_bn(
+        model.init({"params": jax.random.key(0)}, jnp.zeros((1, T_, F_))), rng
+    )
+    feats_stored = rng.normal(size=(B_, F_, T_)).astype(np.float32)
+
+    ref_logits = model.apply(variables, jnp.transpose(jnp.asarray(feats_stored), (0, 2, 1)))
+    ref = np.asarray(jax.nn.sigmoid(ref_logits[:, 0]))
+
+    folded = fold_cnn1d(variables)
+    got32 = np.asarray(
+        cnn1d_fast_scores(folded, jnp.asarray(feats_stored), compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got32, ref, atol=1e-5)
+    got16 = np.asarray(cnn1d_fast_scores(folded, jnp.asarray(feats_stored)))
+    np.testing.assert_allclose(got16, ref, atol=2e-2)
+
+
+def test_cae_fast_mse_matches_reference_path(rng):
+    """Folded CAE chain == normalize -> model.apply -> per-sample MSE
+    (the hybrid submission path's CAE leg), both at the production-like
+    geometry rule (odd T) and in both dtypes."""
+    from dfac_tpu.models.cae import reconstruction_mse
+    from dfac_tpu.models.fast_infer import cae_fast_mse, fold_cae
+
+    t_dim, f_dim = 37, 20  # odd T exercises the output_padding trace
+    model = build_model("cae", base_channels=8)
+    variables = _randomize_bn(
+        model.init({"params": jax.random.key(0)}, jnp.zeros((1, t_dim, f_dim))), rng
+    )
+    feats_stored = rng.normal(size=(B_, f_dim, t_dim)).astype(np.float32)
+    mean = jnp.asarray(rng.normal(size=(f_dim,)).astype(np.float32) * 0.2)
+    std = jnp.asarray((rng.random(f_dim) + 0.5).astype(np.float32))
+
+    x = (jnp.transpose(jnp.asarray(feats_stored), (0, 2, 1)) - mean) / std
+    recon, _ = model.apply(variables, x)
+    ref = np.asarray(reconstruction_mse(recon, x))
+
+    folded = fold_cae(variables)
+    got32 = np.asarray(
+        cae_fast_mse(folded, jnp.asarray(feats_stored), mean, std, compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got32, ref, rtol=1e-4)
+    got16 = np.asarray(cae_fast_mse(folded, jnp.asarray(feats_stored), mean, std))
+    np.testing.assert_allclose(got16, ref, rtol=0.1)  # bf16 activations
