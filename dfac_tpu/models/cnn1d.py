@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dfac_tpu.models.common import Conv, Dense, TorchBatchNorm
+from dfac_tpu.models.common import Conv, Dense, FastDropout, TorchBatchNorm
 
 
 class CNN1D(nn.Module):
@@ -42,7 +42,7 @@ class CNN1D(nn.Module):
             )
             h = nn.relu(h)
             if i < 2:
-                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+                h = FastDropout(self.dropout, deterministic=not train)(h)
 
         h = jnp.mean(h, axis=1)  # AdaptiveAvgPool1d(1) over time -> (B, C)
         logits = Dense(self.num_classes, dtype=dt, name="classifier")(h)
@@ -77,6 +77,6 @@ class CNN1DVariant(nn.Module):
             )
             h = nn.relu(h)
             if i < 2:
-                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+                h = FastDropout(self.dropout, deterministic=not train)(h)
         h = jnp.mean(h, axis=1)
         return Dense(self.num_classes, dtype=dt, name="classifier")(h).astype(jnp.float32)

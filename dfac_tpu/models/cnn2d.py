@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dfac_tpu.models.common import Conv, Dense, TorchBatchNorm, avg_pool
+from dfac_tpu.models.common import Conv, Dense, FastDropout, TorchBatchNorm, avg_pool
 
 
 class CNN2D(nn.Module):
@@ -52,7 +52,7 @@ class CNN2D(nn.Module):
             h = nn.relu(h)
             if i < 2:
                 h = avg_pool(h, (2, 1))
-                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+                h = FastDropout(self.dropout, deterministic=not train)(h)
 
         h = jnp.mean(h, axis=1)  # (B, F, C) — average over time only
         # Channel-major flatten: embedding index = c * F + f (torch layout).

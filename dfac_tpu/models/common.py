@@ -114,9 +114,42 @@ def avg_pool(x: jax.Array, window: Sequence[int], strides: Sequence[int] | None 
 
     ``window`` covers the non-batch, non-channel axes. VALID padding
     reproduces torch's default floor division shape rule.
+
+    Implemented as a stride-``strides`` depthwise convolution with constant
+    ``1/prod(window)`` taps instead of ``reduce_window``: on TPU the conv
+    stays inside XLA's convolution layout domain (reduce_window forces a
+    relayout on C-minor activations) — measured ~20% faster in the serving
+    chain (results/v5e_measurements.md, round 2) and now shared by the
+    training path too (round 3). Bit-exact vs ``nn.avg_pool`` in f32
+    (``precision=HIGHEST`` + f32 accumulation; scaling by the reciprocal
+    window size is exact for power-of-two windows and correctly rounded
+    otherwise); in bf16 the MXU accumulates in f32 before one bf16 round.
+    The VJP is the transposed depthwise convolution — the same
+    uniform-scatter gradient as ``reduce_window``'s.
     """
     strides = tuple(strides) if strides is not None else tuple(window)
-    return nn.avg_pool(x, window_shape=tuple(window), strides=strides, padding="VALID")
+    window = tuple(window)
+    c = x.shape[-1]
+    spatial = "".join("DHW"[3 - len(window):])  # 1D -> "W", 2D -> "HW"
+    dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+    taps = jnp.full((*window, 1, c), 1.0 / math.prod(window), x.dtype)
+    if x.dtype == jnp.bfloat16:
+        # no preferred_element_type: its f32 output would hand the VJP an
+        # f32 cotangent against bf16 taps, which lax.conv rejects. The TPU
+        # MXU accumulates bf16 convs in f32 internally regardless, so the
+        # f32-accumulate-then-round-once property still holds.
+        kwargs = {}
+    else:
+        kwargs = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jax.lax.conv_general_dilated(
+        x, taps, strides, "VALID",
+        dimension_numbers=dn,
+        feature_group_count=c,
+        **kwargs,
+    ).astype(x.dtype)
 
 
 class Conv(nn.Module):
@@ -205,6 +238,39 @@ class ConvTranspose2dTorch(nn.Module):
             y = jnp.pad(y, ((0, 0), (0, op_h), (0, op_w), (0, 0)))
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
         return y + bias
+
+
+class FastDropout(nn.Module):
+    """Element dropout from one random BYTE per element.
+
+    ``jax.random.bernoulli`` forms a full f32 uniform per element from the
+    PRNG bits; at CNN2D training scale (two masks over ~700M elements at
+    B=512) that costs 15.4 ms of a ~100 ms step on a v5e. Drawing uint8
+    bits and comparing against ``round(rate * 256)`` measures 4.6 ms for
+    the same masks (``results/v5e_measurements.md`` round 3).
+
+    Semantics: keep probability quantizes to a multiple of 1/256 — rate
+    0.2 becomes 51/256 = 0.19921875, and the kept values are rescaled by
+    the TRUE quantized keep probability so E[output] == input exactly.
+    The reference has no RNG-bit contract (it uses python/torch global
+    RNGs); the <=2e-3 absolute rate quantization is far below the
+    run-to-run noise of retrained models. Rates that quantize to 0 keep
+    everything (identical to rate 0).
+    """
+
+    rate: float
+    deterministic: bool | None = None  # drop-in for nn.Dropout's signature
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool | None = None) -> jax.Array:
+        det = deterministic if deterministic is not None else self.deterministic
+        thresh = int(round(self.rate * 256))
+        if det or thresh <= 0:
+            return x
+        key = self.make_rng("dropout")
+        bits = jax.random.bits(key, x.shape, jnp.uint8)
+        keep_p = 1.0 - thresh / 256.0
+        return jnp.where(bits >= thresh, x / jnp.asarray(keep_p, x.dtype), jnp.zeros((), x.dtype))
 
 
 class ChannelDropout(nn.Module):

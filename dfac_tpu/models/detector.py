@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dfac_tpu.models.common import Conv, Dense, TorchBatchNorm
+from dfac_tpu.models.common import Conv, Dense, FastDropout, TorchBatchNorm
 
 
 def stats_pool(x: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -60,11 +60,11 @@ class DeepfakeDetector(nn.Module):
                 h, use_running_average=not train
             )
             h = nn.gelu(h, approximate=False)
-            h = nn.Dropout(self.encoder_dropout, deterministic=not train)(h)
+            h = FastDropout(self.encoder_dropout, deterministic=not train)(h)
 
         z = stats_pool(h.astype(jnp.float32), lengths)  # (B, 2*hidden)
         z = Dense(self.hidden, dtype=dt, name="head_fc1")(z)
         z = nn.gelu(z, approximate=False)
-        z = nn.Dropout(self.dropout, deterministic=not train)(z)
+        z = FastDropout(self.dropout, deterministic=not train)(z)
         logits = Dense(1, dtype=dt, name="head_fc2")(z)
         return logits[..., 0].astype(jnp.float32)  # (B,)

@@ -33,6 +33,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _depthwise_avg_pool(h: jax.Array, window: tuple[int, int]) -> jax.Array:
@@ -139,11 +140,28 @@ def predict_scores_fast(
     score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
     return collect_masked_scores(
         lambda batch: score(
-            folded, jnp.asarray(batch.features),
+            folded, _ingest(batch.features, compute_dtype),
             apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
         ),
         ds, batch_size,
     )
+
+
+def _ingest(feats_np, compute_dtype):
+    """Host -> device upload of a feature batch for the fast chains.
+
+    When the chain computes in bf16 its FIRST op is ``astype(bf16)`` — so
+    casting on the HOST first is bit-identical and halves the bytes moved
+    over PCIe/the relay (the ingest bottleneck of disk -> scores serving;
+    see results/v5e_measurements.md round 3). The transfer is async
+    (``device_put`` returns immediately), so upload of batch k+1 overlaps
+    scoring of batch k inside ``collect_masked_scores``'s dispatch queue.
+    """
+    if compute_dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        return jax.device_put(feats_np.astype(ml_dtypes.bfloat16))
+    return jax.device_put(np.asarray(feats_np))
 
 
 def fold_cnn1d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
@@ -316,7 +334,7 @@ def predict_scores_fast_cnn1d(
     folded = fold_cnn1d(variables)
     return collect_masked_scores(
         lambda batch: cnn1d_fast_scores(
-            folded, jnp.asarray(batch.features), swap_tf=swap_tf,
+            folded, _ingest(batch.features, compute_dtype), swap_tf=swap_tf,
             apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
         ),
         ds, batch_size,

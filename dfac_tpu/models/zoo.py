@@ -19,6 +19,7 @@ from dfac_tpu.models.common import (
     ChannelDropout,
     Conv,
     Dense,
+    FastDropout,
     TorchBatchNorm,
     avg_pool,
 )
@@ -50,7 +51,7 @@ class MeanPoolMLP(nn.Module):
         for i in range(2):
             h = Dense(self.hidden_dim, name=f"fc{i + 1}")(h)
             h = nn.relu(h)
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = FastDropout(self.dropout, deterministic=not train)(h)
         return Dense(1, name="fc3")(h)
 
 
@@ -70,7 +71,7 @@ class StatsPoolMLP(nn.Module):
         for i in range(2):
             h = Dense(self.hidden_dim, name=f"fc{i + 1}")(h)
             h = nn.relu(h)
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = FastDropout(self.dropout, deterministic=not train)(h)
         return Dense(1, name="fc3")(h)
 
 
@@ -96,7 +97,7 @@ class _CNN1DBase(nn.Module):
                 if self.spatial_dropout:
                     h = ChannelDropout(self.dropout)(h, deterministic=not train)
                 else:
-                    h = nn.Dropout(self.dropout, deterministic=not train)(h)
+                    h = FastDropout(self.dropout, deterministic=not train)(h)
         h = adaptive_avg_pool_1d(h, self.pool_bins)  # (B, bins, C)
         # channel-major flatten (torch flattens (B, C, bins)) so imported
         # classifier weights line up for pool_bins > 1
@@ -178,13 +179,13 @@ class CRNN(nn.Module):
             )
             h = nn.relu(h)
             h = avg_pool(h, (2, 1))
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = FastDropout(self.dropout, deterministic=not train)(h)
         # (B, T', F, C) -> (B, T', C*F) channel-major (torch NCHW flatten)
         h = jnp.swapaxes(h, 2, 3).reshape(h.shape[0], h.shape[1], -1)
         for layer in range(self.num_layers):
             h = _GRULayer(self.rnn_hidden, name=f"gru{layer + 1}")(h)
             if layer < self.num_layers - 1:
-                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+                h = FastDropout(self.dropout, deterministic=not train)(h)
         last = h[:, -1]
         return Dense(1, name="classifier")(last)
 
@@ -229,8 +230,8 @@ class CNN2DRobust(nn.Module):
         attn = nn.softmax(attn, axis=1)
         h = jnp.sum(h * attn, axis=1)  # (B, C)
 
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = FastDropout(self.dropout, deterministic=not train)(h)
         h = Dense(256, name="head_fc1")(h)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = FastDropout(self.dropout, deterministic=not train)(h)
         return Dense(1, name="head_fc2")(h)

@@ -327,6 +327,176 @@ def stage5_step_bracket(B, dt):
     print(f"  {'full step':24s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
 
 
+def stage6_variants(B, dt):
+    """Functional CNN2D replica: A/B pool + dropout implementations under
+    the full train-mode fwd+bwd (the real optimization candidates)."""
+    print(f"\n== stage 6: fwd+bwd variants (B={B}) ==")
+    from dfac_tpu.utils.rng import train_key
+
+    rngk = np.random.default_rng(0)
+    chans = [(1, 32), (32, 64), (64, 128)]
+    params = {}
+    for i, (ci, co) in enumerate(chans, 1):
+        params[f"w{i}"] = jnp.asarray(rngk.normal(size=(3, 3, ci, co)) * 0.1, jnp.float32)
+        params[f"b{i}"] = jnp.zeros((co,), jnp.float32)
+        params[f"g{i}"] = jnp.ones((co,), jnp.float32)
+        params[f"be{i}"] = jnp.zeros((co,), jnp.float32)
+    params["wc"] = jnp.asarray(rngk.normal(size=(128 * 180, 1)) * 0.01, jnp.float32)
+    x = jax.jit(lambda k: jax.random.normal(k, (B, 321, 180), jnp.float32))(jax.random.key(1))
+    y = jnp.asarray((np.arange(B) % 2).astype(np.float32))
+    key = train_key(0)
+
+    def pool_rw(h):
+        from flax import linen as nn
+
+        return nn.avg_pool(h, (2, 1), (2, 1), "VALID")
+
+    def pool_dw(h):
+        # no preferred_element_type: its f32 output breaks the VJP's
+        # dtype match against the bf16 taps (MXU accumulates f32 anyway)
+        c = h.shape[-1]
+        taps = jnp.full((2, 1, 1, c), 0.5, h.dtype)
+        return jax.lax.conv_general_dilated(
+            h, taps, (2, 1), "VALID", dimension_numbers=DN,
+            feature_group_count=c,
+        )
+
+    def drop_f32(k, h, rate):
+        keep = jax.random.bernoulli(k, 1.0 - rate, h.shape)
+        return jnp.where(keep, h / (1.0 - rate), 0.0)
+
+    def drop_u8(k, h, rate):
+        # one random BYTE per element; keep iff byte >= round(rate*256)
+        thresh = int(round(rate * 256))
+        bits = jax.random.bits(k, h.shape, jnp.uint8)
+        return jnp.where(bits >= thresh, h / (1.0 - thresh / 256.0), 0.0)
+
+    def drop_none(k, h, rate):
+        return h
+
+    def make_loss(pool, drop):
+        def loss(params, xin, key):
+            k1, k2 = jax.random.split(key)
+            h = xin[..., None].astype(dt)
+            for i, k_ in ((1, k1), (2, k2), (3, None)):
+                h = conv(h, params[f"w{i}"].astype(dt)) + params[f"b{i}"]
+                hf = h.astype(jnp.float32)
+                m = jnp.mean(hf, axis=(0, 1, 2))
+                msq = jnp.mean(jnp.square(hf), axis=(0, 1, 2))
+                v = jnp.maximum(msq - m * m, 0.0)
+                h = ((h - m) * jax.lax.rsqrt(v + 1e-5) * params[f"g{i}"] + params[f"be{i}"]).astype(dt)
+                h = jnp.maximum(h, 0)
+                if i < 3:
+                    h = pool(h)
+                    h = drop(k_, h, 0.2).astype(dt)
+            hm = jnp.mean(h.astype(jnp.float32), axis=1)
+            emb = jnp.swapaxes(hm, 1, 2).reshape(hm.shape[0], -1)
+            logits = (emb.astype(dt) @ params["wc"].astype(dt)).astype(jnp.float32)[:, 0]
+            import optax as _o
+
+            return jnp.mean(_o.sigmoid_binary_cross_entropy(logits, y))
+
+        return lambda p, xin, k: jax.value_and_grad(loss)(p, xin, k)[1]
+
+    variants = [
+        ("rw-pool + f32-drop (baseline)", pool_rw, drop_f32),
+        ("dw-pool + f32-drop", pool_dw, drop_f32),
+        ("rw-pool + u8-drop", pool_rw, drop_u8),
+        ("dw-pool + u8-drop", pool_dw, drop_u8),
+        ("dw-pool + no-drop", pool_dw, drop_none),
+    ]
+    for name, pool, drop in variants:
+        t = bench_slope(make_loss(pool, drop), params, x, key, perturb=1)
+        print(f"  {name:32s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
+
+
+def stage7_backward_attribution(B, dt):
+    """Where do the ~60 ms of backward go? Block-depth prefixes + BN
+    precision variants + batch-size sweep on the u8-drop replica."""
+    print(f"\n== stage 7: backward attribution (B={B}) ==")
+    from dfac_tpu.utils.rng import train_key
+
+    rngk = np.random.default_rng(0)
+    chans = [(1, 32), (32, 64), (64, 128)]
+    params = {}
+    for i, (ci, co) in enumerate(chans, 1):
+        params[f"w{i}"] = jnp.asarray(rngk.normal(size=(3, 3, ci, co)) * 0.1, jnp.float32)
+        params[f"b{i}"] = jnp.zeros((co,), jnp.float32)
+        params[f"g{i}"] = jnp.ones((co,), jnp.float32)
+        params[f"be{i}"] = jnp.zeros((co,), jnp.float32)
+    params["wc"] = jnp.asarray(rngk.normal(size=(128 * 180, 1)) * 0.01, jnp.float32)
+    y = jnp.asarray((np.arange(B) % 2).astype(np.float32))
+    key = train_key(0)
+
+    def drop_u8(k, h, rate):
+        bits = jax.random.bits(k, h.shape, jnp.uint8)
+        return jnp.where(bits >= 51, h / (1.0 - 51 / 256.0), 0.0)
+
+    def pool_dw(h):
+        c = h.shape[-1]
+        taps = jnp.full((2, 1, 1, c), 0.5, h.dtype)
+        return jax.lax.conv_general_dilated(
+            h, taps, (2, 1), "VALID", dimension_numbers=DN, feature_group_count=c,
+        )
+
+    def make_loss(depth=3, bn="f32", with_drop=True, batch=None):
+        yb = y if batch is None else jnp.asarray((np.arange(batch) % 2).astype(np.float32))
+
+        def loss(params, xin, key):
+            ks = jax.random.split(key, 3)
+            h = xin[..., None].astype(dt)
+            for i in range(1, depth + 1):
+                h = conv(h, params[f"w{i}"].astype(dt)) + params[f"b{i}"]
+                if bn == "f32":
+                    hf = h.astype(jnp.float32)
+                    m = jnp.mean(hf, axis=(0, 1, 2))
+                    msq = jnp.mean(jnp.square(hf), axis=(0, 1, 2))
+                    v = jnp.maximum(msq - m * m, 0.0)
+                    h = ((h - m) * jax.lax.rsqrt(v + 1e-5) * params[f"g{i}"] + params[f"be{i}"]).astype(dt)
+                elif bn == "bf16norm":
+                    # stats still f32-accumulated reduces over the bf16
+                    # array, but the normalize runs in bf16 (no f32
+                    # materialization for the backward to re-read)
+                    m = jnp.mean(h, axis=(0, 1, 2), dtype=jnp.float32)
+                    msq = jnp.mean(jnp.square(h.astype(jnp.float32)), axis=(0, 1, 2))
+                    v = jnp.maximum(msq - m * m, 0.0)
+                    inv = (jax.lax.rsqrt(v + 1e-5) * params[f"g{i}"]).astype(dt)
+                    h = (h - m.astype(dt)) * inv + params[f"be{i}"].astype(dt)
+                elif bn == "none":
+                    pass
+                h = jnp.maximum(h, 0)
+                if i < 3:
+                    h = pool_dw(h)
+                    if with_drop:
+                        h = drop_u8(ks[i], h, 0.2).astype(dt)
+        # head always runs on whatever depth produced
+            hm = jnp.mean(h.astype(jnp.float32), axis=1)
+            emb = jnp.swapaxes(hm, 1, 2).reshape(hm.shape[0], -1)
+            wc = params["wc"][: emb.shape[1]]
+            logits = (emb.astype(dt) @ wc.astype(dt)).astype(jnp.float32)[:, 0]
+            import optax as _o
+
+            return jnp.mean(_o.sigmoid_binary_cross_entropy(logits, yb))
+
+        return lambda p, xin, k: jax.value_and_grad(loss)(p, xin, k)[1]
+
+    x = jax.jit(lambda k: jax.random.normal(k, (B, 321, 180), jnp.float32))(jax.random.key(1))
+    rows = [
+        ("depth1 (conv1 block)", make_loss(depth=1), x),
+        ("depth2 (+conv2)", make_loss(depth=2), x),
+        ("depth3 full (u8, f32-BN)", make_loss(depth=3), x),
+        ("depth3, bf16-normalize BN", make_loss(depth=3, bn="bf16norm"), x),
+        ("depth3, no BN", make_loss(depth=3, bn="none"), x),
+    ]
+    for name, fn, xin in rows:
+        t = bench_slope(fn, params, xin, key, perturb=1)
+        print(f"  {name:28s}: {t*1e3:7.2f} ms  ({xin.shape[0]/t:9,.0f} utt/s)")
+    for b2 in (256, 1024):
+        x2 = jax.jit(lambda k: jax.random.normal(k, (b2, 321, 180), jnp.float32))(jax.random.key(1))
+        t = bench_slope(make_loss(depth=3, batch=b2), params, x2, key, perturb=1)
+        print(f"  full u8 @ B={b2:<6d}          : {t*1e3:7.2f} ms  ({b2/t:9,.0f} utt/s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -346,6 +516,10 @@ def main():
         stage4_full_steps(args.batch, dt)
     if "5" in stages:
         stage5_step_bracket(args.batch, dt)
+    if "6" in stages:
+        stage6_variants(args.batch, dt)
+    if "7" in stages:
+        stage7_backward_attribution(args.batch, dt)
 
 
 if __name__ == "__main__":

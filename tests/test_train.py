@@ -232,3 +232,19 @@ def test_resident_live_ui_warns_once(rng, caplog):
     with caplog.at_level(logging.WARNING, logger="dfac_tpu.train.loop"):
         trainer2.train_epoch(ds, 1, None)  # no live UI: no warning
     assert not [r for r in caplog.records if "per-batch dispatch" in r.message]
+
+
+@pytest.mark.parametrize("model_name", ["cnn2d", "cnn1d"])
+def test_bf16_training_step_compiles_and_is_finite(rng, model_name):
+    """One bf16 train step end to end (fwd+bwd+update). Guards the VJP
+    dtype contract of every op in the chain — e.g. a preferred_element_type
+    mismatch in the depthwise-conv pool only surfaces under bf16 AD."""
+    ds = _separable_dataset(rng, n=8)
+    cfg = TrainConfig(
+        model=model_name, batch_size=4, epochs=1, in_features=16,
+        compute_dtype="bfloat16", seed=0,
+    )
+    trainer = Trainer(cfg)
+    trainer.init_state(ds.features[:4])
+    loss = trainer.train_epoch(ds, 1, None)
+    assert loss is not None and np.isfinite(loss)
