@@ -67,7 +67,10 @@ def test_fused_best_snapshot_matches_per_epoch_best_checkpoint(tmp_path):
         rng = np.random.default_rng(seed)
         labels = (np.arange(n) % 2).astype(np.int32)
         feats = rng.normal(size=(n, f, t)).astype(np.float32)
-        feats[labels == 1, : f // 2] += 0.15
+        # 0.08: weak enough that dev EER worsens after epoch 1 under the
+        # byte-threshold dropout trajectory (0.15 stopped producing the
+        # best-before-last scenario when dropout switched to u8 masks)
+        feats[labels == 1, : f // 2] += 0.08
         return ArrayDataset([f"u{seed}_{i}" for i in range(n)], feats, labels)
 
     train_ds, dev_ds = noisy(24), noisy(44, n=22)
