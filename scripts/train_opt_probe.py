@@ -788,14 +788,22 @@ def stage10_epi3_head(B, dt):
 
     fused.defvjp(_f_fwd, _f_bwd)
 
-    gc_ = jax.jit(jax.grad(lambda y0, g, be, wc: jnp.sum(control(y0, g, be, wc) * ct),
-                           argnums=(0, 1, 2, 3)))(y0, g, be, wc)
-    gf_ = jax.jit(jax.grad(lambda y0, g, be, wc: jnp.sum(fused(y0, g, be, wc) * ct),
-                           argnums=(0, 1, 2, 3)))(y0, g, be, wc)
-    for i, nm in enumerate(("dy0", "dg", "dbe", "dwc")):
-        a, b = np.asarray(gc_[i], np.float32), np.asarray(gf_[i], np.float32)
-        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
-        print(f"  grad agreement {nm:4s}: max rel diff {rel:.2e}")
+    # Agreement check fetches SCALARS only: a 1.9 GB dy0 host fetch hangs
+    # the remote relay, so the max-rel-diff reduction runs on device.
+    @jax.jit
+    def agree(y0, g, be, wc):
+        gc_ = jax.grad(lambda y0, g, be, wc: jnp.sum(control(y0, g, be, wc) * ct),
+                       argnums=(0, 1, 2, 3))(y0, g, be, wc)
+        gf_ = jax.grad(lambda y0, g, be, wc: jnp.sum(fused(y0, g, be, wc) * ct),
+                       argnums=(0, 1, 2, 3))(y0, g, be, wc)
+        return [
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+            / (jnp.max(jnp.abs(a.astype(jnp.float32))) + 1e-12)
+            for a, b in zip(gc_, gf_)
+        ]
+    rels = agree(y0, g, be, wc)
+    for nm, r_ in zip(("dy0", "dg", "dbe", "dwc"), rels):
+        print(f"  grad agreement {nm:4s}: max rel diff {float(r_):.2e}")
 
     for name, fn in (("a. AD control", control), ("b. factorized custom-vjp", fused)):
         tf_ = bench_slope(fn, y0, g, be, wc, perturb=0)
@@ -837,7 +845,7 @@ def stage11_pallas_conv1(B, dt):
     def kern_v0(x_ref, w_ref, out_ref):
         xt = x_ref[0].astype(jnp.float32)
         s = jnp.sum(xt) + jnp.sum(jnp.square(xt))
-        out_ref[0] = jnp.full((CO,), s, jnp.float32)
+        out_ref[0] = jnp.full((8, 128), s, jnp.float32)
 
     def kern_v1(x_ref, w_ref, out_ref):
         xt = x_ref[0]
@@ -848,48 +856,794 @@ def stage11_pallas_conv1(B, dt):
             for dx in range(3):
                 s = jax.lax.slice(xs[dx], (dy, 0), (dy + T, F))
                 acc = acc + s[None] * wf[dy, dx][:, None, None]
-        out_ref[0] = jnp.sum(acc, axis=(1, 2))
+        out_ref[0] = jnp.full((8, 128), jnp.sum(acc), jnp.float32)
 
-    def kern_v2(x_ref, w_ref, out_ref):
-        xt = x_ref[0]
+    def _taps(xt):
         xs = shifts(xt)
-        taps = jnp.stack(
+        return jnp.stack(
             [jax.lax.slice(xs[dx], (dy, 0), (dy + T, F))
              for dy in range(3) for dx in range(3)],
             axis=0,
-        )  # (9, T, F) bf16
+        )  # (9, T, F)
+
+    def kern_v2(x_ref, w_ref, out_ref):
+        w9 = w_ref[:].reshape(9, CO)
+        y = jax.lax.dot_general(
+            _taps(x_ref[0]), w9, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, F, CO)
+        out_ref[0] = jnp.full((8, 128), jnp.sum(y), jnp.float32)
+
+    def kern_v3(x_ref, w_ref, out_ref):
+        # 8 samples per grid step; taps (9, 8, T, F), M = 8*T*F
+        xp = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1)))
+        taps = jnp.stack(
+            [jax.lax.slice(xp, (0, dy, dx), (8, dy + T, dx + F))
+             for dy in range(3) for dx in range(3)],
+            axis=0,
+        )
         w9 = w_ref[:].reshape(9, CO)
         y = jax.lax.dot_general(
             taps, w9, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (T, F, CO)
-        out_ref[0] = jnp.sum(y, axis=(0, 1))
+        )  # (8, T, F, CO)
+        out_ref[0] = jnp.full((8, 128), jnp.sum(y), jnp.float32)
 
-    def run(kern):
+    def kern_v4(x_ref, w_ref, out_ref):
+        # full emit pass: conv -> affine -> relu -> 2x1 pool -> pooled write
+        w9 = w_ref[:].reshape(9, CO)
+        y = jax.lax.dot_general(
+            _taps(x_ref[0]), w9, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, F, CO) f32
+        a = jnp.maximum(y * 1.01 + 0.01, 0.0)
+        p = 0.5 * (a[0 : 2 * TP : 2] + a[1 : 2 * TP : 2])  # leading-axis pairs
+        out_ref[0] = p.astype(dt)
+
+    def run(kern, n_samples=1, emit=False):
+        if emit:
+            out_spec = pl.BlockSpec((1, TP, F, CO), lambda b: (b, 0, 0, 0))
+            out_shape = jax.ShapeDtypeStruct((B, TP, F, CO), dt)
+        else:
+            out_spec = pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0))
+            out_shape = jax.ShapeDtypeStruct((B // n_samples, 8, 128), jnp.float32)
         return pl.pallas_call(
             kern,
-            grid=(B,),
+            grid=(B // n_samples,),
             in_specs=[
-                pl.BlockSpec((1, T, F), lambda b: (b, 0, 0)),
+                pl.BlockSpec((n_samples, T, F), lambda b: (b, 0, 0)),
                 pl.BlockSpec((3, 3, CO), lambda b: (0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, CO), lambda b: (b, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, CO), jnp.float32),
+            out_specs=out_spec,
+            out_shape=out_shape,
         )
+
+    TP = T // 2  # pooled rows
 
     # XLA control: the production conv1 (fwd only)
     t = bench_slope(lambda x, w: conv(x[..., None], w[:, :, None, :]), x, w)
     print(f"  XLA conv1 fwd (control)     : {t*1e3:7.2f} ms")
 
-    for name, kern in (("v0 traffic floor", kern_v0),
-                       ("v1 VPU chan-leading", kern_v1),
-                       ("v2 MXU lead-contract dot", kern_v2)):
+    for name, kern, kw in (("v0 traffic floor", kern_v0, {}),
+                           ("v1 VPU chan-leading", kern_v1, {}),
+                           ("v2 MXU lead-contract dot", kern_v2, {}),
+                           ("v3 MXU 8-sample tile", kern_v3, {"n_samples": 8}),
+                           ("v4 emit pass (pooled write)", kern_v4, {"emit": True})):
         try:
-            fn = run(kern)
+            fn = run(kern, **kw)
             t = bench_slope(fn, x, w)
             print(f"  {name:28s}: {t*1e3:7.2f} ms")
         except Exception as e:  # noqa: BLE001
             print(f"  {name:28s}: FAILED {type(e).__name__}: {str(e)[:160]}")
+
+
+def stage12_conv_formulations(B, dt):
+    """Conv-in-Pallas formulation shoot-out, round 2. Round 1 of this stage
+    crashed Mosaic everywhere; the real error (pallas_err_probe.py) was
+    `tpu.reshape (3,3,32) -> (9,32) unsupported` — collapsing leading dims
+    is only a layout no-op when the second-minor dim is sublane-aligned, so
+    the in-kernel weight reshape (not the taps) was the crasher. All
+    variants now take pre-reshaped weights and avoid misaligned collapses:
+      a. odd-offset 2D taps, jnp.stack, leading-axis dot
+      c. flat-shift im2col: host-padded flat sample, 9 dynamic lane
+         slices, (9, M) sublane-contract dot
+      d. VPU FMA, channel-last acc
+      f. conv2-shape: dy lane-interleave + 3 sublane-sliced K=96 rank-3
+         dots (no reshape)
+    XLA controls: conv1 1.6 ms, conv2 4.0 ms (results/v5e_measurements.md)."""
+    print(f"\n== stage 12: conv formulation shoot-out (B={B}) ==")
+    from jax.experimental import pallas as pl
+
+    T, F, CO = 321, 180, 32
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (B, T, F), jnp.float32).astype(dt)
+    )(jax.random.key(0))
+    w9 = jax.jit(
+        lambda k: (jax.random.normal(k, (9, CO), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(1))
+    Np = (T + 2) * (F + 2)
+    xpad_flat = jax.jit(
+        lambda x: jnp.pad(x, ((0, 0), (1, 1), (1, 1))).reshape(B, 1, Np)
+    )(x)
+
+    def csum(out_ref, val):
+        out_ref[0] = jnp.full((8, 128), val, jnp.float32)
+
+    Tv, Fv = T - 2, F - 2  # valid-region output (edge handling elided)
+
+    def kern_a(x_ref, w_ref, out_ref):
+        xt = x_ref[0]
+        taps = jnp.stack(
+            [jax.lax.slice(xt, (dy, dx), (dy + Tv, dx + Fv))
+             for dy in range(3) for dx in range(3)],
+            axis=0,
+        )  # (9, Tv, Fv)
+        y = jax.lax.dot_general(
+            taps, w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tv, Fv, CO)
+        csum(out_ref, jnp.sum(y))
+
+    M = T * (F + 2)  # flat im2col span (junk cols at f=F,F+1 discarded later)
+
+    def kern_c(xf_ref, w_ref, out_ref):
+        xf = xf_ref[0, 0]  # (Np,) flat padded sample
+        offs = [dy * (F + 2) + dx for dy in range(3) for dx in range(3)]
+        taps = jnp.stack(
+            [jax.lax.dynamic_slice(xf, (o,), (M,)) for o in offs], axis=0
+        )  # (9, M)
+        y = jax.lax.dot_general(
+            taps, w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (M, CO)
+        csum(out_ref, jnp.sum(y))
+
+    def kern_d(x_ref, w_ref, out_ref):
+        xt = x_ref[0]
+        wf = w_ref[:].astype(jnp.float32)
+        acc = jnp.zeros((Tv, Fv, CO), jnp.float32)
+        for k in range(9):
+            dy, dx = divmod(k, 3)
+            s = jax.lax.slice(xt, (dy, dx), (dy + Tv, dx + Fv))
+            acc = acc + s.astype(jnp.float32)[:, :, None] * wf[k][None, None, :]
+        csum(out_ref, jnp.sum(acc))
+
+    # --- conv2-shape variant: (T2, F, 32) -> (T2, F, 64) ---
+    T2, CI2, CO2 = 160, 32, 64
+    h1 = jax.jit(
+        lambda k: jax.random.normal(k, (B, T2 + 2, F + 2, CI2), jnp.float32).astype(dt)
+    )(jax.random.key(2))  # pre-padded
+    # w2dx[dx] = rows (dy, ci) stacked -> (3, 96, CO2)
+    w2dx = jax.jit(
+        lambda k: (jax.random.normal(k, (3, 3 * CI2, CO2), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(3))
+
+    def kern_f(h_ref, w_ref, out_ref):
+        ht = h_ref[0]  # (T2+2, F+2, 32)
+        # dy lane-interleave: A (T2, F+2, 96), lane k = (dy, ci)
+        A = jnp.concatenate(
+            [jax.lax.slice(ht, (dy, 0, 0), (dy + T2, F + 2, CI2)) for dy in range(3)],
+            axis=2,
+        )
+        acc = jnp.zeros((T2, F, CO2), jnp.float32)
+        for dx in range(3):
+            a_dx = jax.lax.slice(A, (0, dx, 0), (T2, dx + F, 3 * CI2))
+            acc = acc + jax.lax.dot_general(
+                a_dx, w_ref[dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        csum(out_ref, jnp.sum(acc))
+
+    def run(kern, in_arr, in_block, w_arr):
+        return pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(in_block, lambda b: (b,) + (0,) * (len(in_block) - 1)),
+                pl.BlockSpec(w_arr.shape, lambda b: (0,) * w_arr.ndim),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        )
+
+    cases = [
+        ("a odd-taps leading-dot", kern_a, x, (1, T, F), w9),
+        ("c flat-shift im2col dot", kern_c, xpad_flat, (1, 1, Np), w9),
+        ("d VPU FMA channel-last", kern_d, x, (1, T, F), w9),
+        ("f conv2 interleave K=96x3", kern_f, h1, (1, T2 + 2, F + 2, CI2), w2dx),
+    ]
+    for name, kern, arr, blk, warr in cases:
+        try:
+            fn = run(kern, arr, blk, warr)
+            t = bench_slope(fn, arr, warr)
+            flops = (
+                B * T2 * F * CI2 * CO2 * 18 if name.startswith("f")
+                else B * Tv * Fv * CO * 18
+            )
+            print(f"  {name:28s}: {t*1e3:7.2f} ms  ({flops/t/1e12:6.1f} TF/s)")
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            key = "unsupported" if "unsupported" in msg else None
+            if key:
+                i = msg.index(key)
+                msg = msg[max(0, i - 60):i + 120].replace("\n", " ")
+            else:
+                msg = msg[:140]
+            print(f"  {name:28s}: FAILED {type(e).__name__}: {msg}")
+
+
+def stage13_conv_aligned(B, dt):
+    """Conv-in-Pallas, round 3: every tile 16x128-aligned (stage 12's real
+    blockers: misaligned tpu.reshape collapses inside leading-axis dots;
+    dynamic_slice unsupported). Probe geometry uses a 320-row valid window
+    (edge columns elided — timing only).
+      g. conv1: roll-built taps (f32 round trip), leading-axis dot K=9
+      h. conv1: odd-offset lax.slice taps on aligned tile, leading dot
+      i. conv1: patches (B,Tp,Fp,9) precomputed in HBM, trailing dot K=9
+      j. conv2: dy leading slices + dx sublane-offset slices, 9 x K=32
+         trailing dots (no rolls)
+      k. conv2: dy leading slices + dx sublane roll (f32), 9 x K=32 dots
+    XLA controls: conv1 1.6 ms, conv2 4.0 ms."""
+    print(f"\n== stage 13: aligned conv formulations (B={B}) ==")
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, F, CO = 321, 180, 32
+    Tp, Fp = 336, 256        # aligned padded tile (bf16: 16 x 128)
+    Tv = 320                 # aligned valid output rows
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (B, Tp, Fp), jnp.float32).astype(dt)
+    )(jax.random.key(0))
+    w9 = jax.jit(
+        lambda k: (jax.random.normal(k, (9, CO), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(1))
+    patches = jax.jit(
+        lambda k: jax.random.normal(k, (B, Tv, Fp, 9), jnp.float32).astype(dt)
+    )(jax.random.key(2))
+
+    def csum(out_ref, val):
+        out_ref[0] = jnp.full((8, 128), val, jnp.float32)
+
+    def kern_g(x_ref, w_ref, out_ref):
+        xt = x_ref[0].astype(jnp.float32)  # (Tp, Fp) f32 for roll
+        taps = jnp.stack(
+            [jax.lax.slice(
+                xt if dx == 1 else pltpu.roll(xt, (1 - dx) % Fp, axis=1),
+                (dy, 0), (dy + Tv, Fp))
+             for dy in range(3) for dx in range(3)],
+            axis=0,
+        ).astype(dt)  # (9, Tv, Fp)
+        y = jax.lax.dot_general(
+            taps, w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        csum(out_ref, jnp.sum(y))
+
+    def kern_h(x_ref, w_ref, out_ref):
+        xt = x_ref[0]  # (Tp, Fp) bf16
+        taps = jnp.stack(
+            [jax.lax.slice(xt, (dy, dx), (dy + Tv, dx + 128))
+             for dy in range(3) for dx in range(3)],
+            axis=0,
+        )  # (9, Tv, 128) — odd lane offsets, aligned sizes
+        y = jax.lax.dot_general(
+            taps, w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        csum(out_ref, jnp.sum(y))
+
+    def kern_i(p_ref, w_ref, out_ref):
+        p = p_ref[0]  # (Tv, Fp, 9)
+        y = jax.lax.dot_general(
+            p, w_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tv, Fp, CO)
+        csum(out_ref, jnp.sum(y))
+
+    # --- conv2 shape: (160, 180, 32) -> (160, 180, 64) ---
+    T2, CI2, CO2 = 160, 32, 64
+    T2p, F2p = 176, 192      # aligned: sublane mult 16 covers 162/182
+    h1 = jax.jit(
+        lambda k: jax.random.normal(k, (B, T2p, F2p, CI2), jnp.float32).astype(dt)
+    )(jax.random.key(3))
+    w2 = jax.jit(
+        lambda k: (jax.random.normal(k, (9, CI2, CO2), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(4))
+
+    def kern_j(h_ref, w_ref, out_ref):
+        ht = h_ref[0]  # (T2p, F2p, 32)
+        acc = jnp.zeros((T2, 176, CO2), jnp.float32)
+        for k in range(9):
+            dy, dx = divmod(k, 3)
+            s = jax.lax.slice(ht, (dy, dx, 0), (dy + T2, dx + 176, CI2))
+            acc = acc + jax.lax.dot_general(
+                s, w_ref[k], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        csum(out_ref, jnp.sum(acc))
+
+    def kern_k(h_ref, w_ref, out_ref):
+        ht = h_ref[0].astype(jnp.float32)
+        acc = jnp.zeros((T2, F2p, CO2), jnp.float32)
+        for k in range(9):
+            dy, dx = divmod(k, 3)
+            sh = ht if dx == 1 else pltpu.roll(ht, (1 - dx) % F2p, axis=1)
+            s = jax.lax.slice(sh, (dy, 0, 0), (dy + T2, F2p, CI2)).astype(dt)
+            acc = acc + jax.lax.dot_general(
+                s, w_ref[k], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        csum(out_ref, jnp.sum(acc))
+
+    def run(kern, in_arr, in_block, w_arr):
+        return pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(in_block, lambda b: (b,) + (0,) * (len(in_block) - 1)),
+                pl.BlockSpec(w_arr.shape, lambda b: (0,) * w_arr.ndim),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        )
+
+    cases = [
+        ("g conv1 roll-taps lead-dot", kern_g, x, (1, Tp, Fp), w9),
+        ("h conv1 slice-taps lead-dot", kern_h, x, (1, Tp, Fp), w9),
+        ("i conv1 HBM-patches K=9 dot", kern_i, patches, (1, Tv, Fp, 9), w9),
+        ("j conv2 sublane-shift 9xK32", kern_j, h1, (1, T2p, F2p, CI2), w2),
+        ("k conv2 roll-shift 9xK32", kern_k, h1, (1, T2p, F2p, CI2), w2),
+    ]
+    for name, kern, arr, blk, warr in cases:
+        try:
+            fn = run(kern, arr, blk, warr)
+            t = bench_slope(fn, arr, warr)
+            flops = (
+                B * T2 * F * CI2 * CO2 * 18 if "conv2" in name
+                else B * Tv * F * CO * 18
+            )
+            print(f"  {name:28s}: {t*1e3:7.2f} ms  ({flops/t/1e12:6.1f} TF/s)")
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            for key in ("unsupported", "Unimplemented", "Not implemented",
+                        "NotImplemented", "INTERNAL"):
+                if key in msg:
+                    i = msg.index(key)
+                    msg = msg[max(0, i - 80):i + 160].replace("\n", " ")
+                    break
+            else:
+                msg = msg[:140]
+            print(f"  {name:28s}: FAILED {type(e).__name__}: {msg}")
+
+
+def stage14_conv_chunked(B, dt):
+    """Conv-in-Pallas, round 4. Stage 13's 'crashes' were VMEM OOMs: whole-
+    sample intermediates (taps/acc) blow the 16 MB budget, and a patches
+    array with minor dim 9 pads 9 -> 128 lanes (21 MB/block). Fixes: inner
+    fori_loop over T chunks with pl.ds ref reads, tap-leading patches.
+      h2. conv1: in-kernel taps per (64, 128) chunk, leading dot K=9
+      i2. conv1: XLA-precomputed tap-leading patches (B, 9, Tp, Fp),
+          chunked leading dot K=9 (no in-kernel tap build)
+      j2. conv2: chunked 9 x K=32 rank-3 trailing dots, slice-built taps
+    XLA controls: conv1 1.6 ms, conv2 4.0 ms."""
+    print(f"\n== stage 14: chunked conv formulations (B={B}) ==")
+    from jax.experimental import pallas as pl
+
+    CO = 32
+    Tp, Fp, Tv = 336, 256, 320
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (B, Tp, Fp), jnp.float32).astype(dt)
+    )(jax.random.key(0))
+    w9 = jax.jit(
+        lambda k: (jax.random.normal(k, (9, CO), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(1))
+    p9 = jax.jit(
+        lambda k: jax.random.normal(k, (B, 9, Tp, Fp), jnp.float32).astype(dt)
+    )(jax.random.key(2))
+
+    def csum(out_ref, val):
+        out_ref[0] = jnp.full((8, 128), val, jnp.float32)
+
+    def kern_h2(x_ref, w_ref, out_ref):
+        def chunk(t, acc):
+            ti, fi = t // 2, t % 2
+            xc = x_ref[0, pl.ds(ti * 64, 66), pl.ds(fi * 128, 130)]
+            taps = jnp.stack(
+                [jax.lax.slice(xc, (dy, dx), (dy + 64, dx + 128))
+                 for dy in range(3) for dx in range(3)],
+                axis=0,
+            )  # (9, 64, 128)
+            y = jax.lax.dot_general(
+                taps, w_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + jnp.sum(y)
+
+        out = jax.lax.fori_loop(0, 10, chunk, jnp.float32(0.0))
+        csum(out_ref, out)
+
+    def kern_i2(p_ref, w_ref, out_ref):
+        def chunk(t, acc):
+            taps = p_ref[0, :, pl.ds(t * 64, 64), :]  # (9, 64, Fp)
+            y = jax.lax.dot_general(
+                taps, w_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + jnp.sum(y)
+
+        out = jax.lax.fori_loop(0, 5, chunk, jnp.float32(0.0))
+        csum(out_ref, out)
+
+    # --- conv2 shape ---
+    T2, CI2, CO2 = 160, 32, 64
+    T2p, F2p = 176, 192
+    h1 = jax.jit(
+        lambda k: jax.random.normal(k, (B, T2p, F2p, CI2), jnp.float32).astype(dt)
+    )(jax.random.key(3))
+    w2 = jax.jit(
+        lambda k: (jax.random.normal(k, (9, CI2, CO2), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(4))
+
+    def kern_j2(h_ref, w_ref, out_ref):
+        def chunk(t, acc):
+            hc = h_ref[0, pl.ds(t * 32, 34), :, :]  # (34, 192, 32)
+            yc = jnp.zeros((32, 176, CO2), jnp.float32)
+            for k in range(9):
+                dy, dx = divmod(k, 3)
+                s = jax.lax.slice(hc, (dy, dx, 0), (dy + 32, dx + 176, CI2))
+                yc = yc + jax.lax.dot_general(
+                    s, w_ref[k], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return acc + jnp.sum(yc)
+
+        out = jax.lax.fori_loop(0, 5, chunk, jnp.float32(0.0))
+        csum(out_ref, out)
+
+    def run(kern, in_arr, in_block, w_arr):
+        return pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(in_block, lambda b: (b,) + (0,) * (len(in_block) - 1)),
+                pl.BlockSpec(w_arr.shape, lambda b: (0,) * w_arr.ndim),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        )
+
+    cases = [
+        ("h2 conv1 chunked slice-taps", kern_h2, x, (1, Tp, Fp), w9),
+        ("i2 conv1 HBM tap-patches", kern_i2, p9, (1, 9, Tp, Fp), w9),
+        ("j2 conv2 chunked 9xK32", kern_j2, h1, (1, T2p, F2p, CI2), w2),
+    ]
+    for name, kern, arr, blk, warr in cases:
+        try:
+            fn = run(kern, arr, blk, warr)
+            t = bench_slope(fn, arr, warr)
+            flops = (
+                B * T2 * 176 * CI2 * CO2 * 18 if "conv2" in name
+                else B * Tv * Fp * CO * 18
+            )
+            print(f"  {name:28s}: {t*1e3:7.2f} ms  ({flops/t/1e12:6.1f} TF/s)")
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            idx = msg.find("Mosaic")
+            if idx < 0:
+                idx = msg.find("Ran out of memory")
+            msg = msg[idx:idx + 300].replace("\n", " ") if idx >= 0 else msg[-300:]
+            print(f"  {name:28s}: FAILED {type(e).__name__}: {msg}")
+
+
+def stage15_conv2_chunks(B, dt):
+    """Conv-in-Pallas, round 5 — the conv2/conv3 trailing-dot formulations
+    (stage 14's j2 OOM'd at chunk=32; leading-dot conv1 measured hopeless
+    at ~1.5 TF/s). If these hit >=100 TF/s, flash blocks 2+3 are viable
+    and worth ~35 ms of the 99 ms step.
+      j3. conv2 (160,180,32)->(,,64):  chunk=16, 9 x K=32 rank-3 dots
+      j4. conv2 via dy-interleave:     chunk=16, 3 x K=96 dots
+      j5. conv3 (80,180,64)->(,,128):  chunk=16, 9 x K=64 dots
+      c2. conv1 flat-shift taps as RHS (w lhs (32,9)), trailing dot
+    XLA controls: conv1 1.6 / conv2 4.0 / conv3 6.5 ms."""
+    print(f"\n== stage 15: conv2/conv3 chunked trailing dots (B={B}) ==")
+    from jax.experimental import pallas as pl
+
+    def csum(out_ref, val):
+        out_ref[0] = jnp.full((8, 128), val, jnp.float32)
+
+    def make_convk(T2, F2p, CI, CO, chunk, n_chunk):
+        def kern(h_ref, w_ref, out_ref):
+            def body(t, acc):
+                hc = h_ref[0, pl.ds(t * chunk, chunk + 2), :, :]
+                yc = jnp.zeros((chunk, F2p - 16, CO), jnp.float32)
+                for k in range(9):
+                    dy, dx = divmod(k, 3)
+                    s = jax.lax.slice(
+                        hc, (dy, dx, 0), (dy + chunk, dx + F2p - 16, CI)
+                    )
+                    yc = yc + jax.lax.dot_general(
+                        s, w_ref[k], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return acc + jnp.sum(yc)
+
+            csum(out_ref, jax.lax.fori_loop(0, n_chunk, body, jnp.float32(0.0)))
+
+        return kern
+
+    def make_conv_inter(T2, F2p, CI, CO, chunk, n_chunk):
+        # dy-interleave: A (chunk, F2p, 3*CI) lane-concat, 3 sublane-shifted
+        # K=3*CI dots
+        def kern(h_ref, w_ref, out_ref):
+            def body(t, acc):
+                hc = h_ref[0, pl.ds(t * chunk, chunk + 2), :, :]
+                A = jnp.concatenate(
+                    [jax.lax.slice(hc, (dy, 0, 0), (dy + chunk, F2p, CI))
+                     for dy in range(3)],
+                    axis=2,
+                )  # (chunk, F2p, 3*CI)
+                yc = jnp.zeros((chunk, F2p - 16, CO), jnp.float32)
+                for dx in range(3):
+                    s = jax.lax.slice(
+                        A, (0, dx, 0), (chunk, dx + F2p - 16, 3 * CI)
+                    )
+                    yc = yc + jax.lax.dot_general(
+                        s, w_ref[dx], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return acc + jnp.sum(yc)
+
+            csum(out_ref, jax.lax.fori_loop(0, n_chunk, body, jnp.float32(0.0)))
+
+        return kern
+
+    def run(kern, in_arr, in_block, w_arr):
+        return pl.pallas_call(
+            kern,
+            grid=(in_arr.shape[0],),
+            in_specs=[
+                pl.BlockSpec(in_block, lambda b: (b,) + (0,) * (len(in_block) - 1)),
+                pl.BlockSpec(w_arr.shape, lambda b: (0,) * w_arr.ndim),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((in_arr.shape[0], 8, 128), jnp.float32),
+        )
+
+    cases = []
+    # conv2: (160+pad, 180+pad, 32) -> 64
+    T2p, F2p, CI2, CO2 = 176, 192, 32, 64
+    h1 = jax.jit(
+        lambda k: jax.random.normal(k, (B, T2p, F2p, CI2), jnp.float32).astype(dt)
+    )(jax.random.key(3))
+    w2 = jax.jit(
+        lambda k: (jax.random.normal(k, (9, CI2, CO2), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(4))
+    w2i = jax.jit(
+        lambda k: (jax.random.normal(k, (3, 3 * CI2, CO2), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(5))
+    fl2 = B * 160 * 176 * CI2 * CO2 * 18
+    cases.append(("j3 conv2 chunk16 9xK32", make_convk(T2p, F2p, CI2, CO2, 16, 10),
+                  h1, (1, T2p, F2p, CI2), w2, fl2))
+    cases.append(("j4 conv2 interleave 3xK96", make_conv_inter(T2p, F2p, CI2, CO2, 16, 10),
+                  h1, (1, T2p, F2p, CI2), w2i, fl2))
+
+    # conv3: (80+pad, 180+pad, 64) -> 128
+    T3p, CI3, CO3 = 96, 64, 128
+    h2arr = jax.jit(
+        lambda k: jax.random.normal(k, (B, T3p, F2p, CI3), jnp.float32).astype(dt)
+    )(jax.random.key(6))
+    w3 = jax.jit(
+        lambda k: (jax.random.normal(k, (9, CI3, CO3), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(7))
+    fl3 = B * 80 * 176 * CI3 * CO3 * 18
+    cases.append(("j5 conv3 chunk16 9xK64", make_convk(T3p, F2p, CI3, CO3, 16, 5),
+                  h2arr, (1, T3p, F2p, CI3), w3, fl3))
+
+    # conv1 flat-shift, w as lhs (CO, 9), taps as rhs (9, M)
+    T, F, CO = 321, 180, 32
+    Np = (T + 2) * (F + 2) + 128
+    xf = jax.jit(
+        lambda k: jax.random.normal(k, (B, 16, ((Np + 127) // 128) * 128),
+                                    jnp.float32).astype(dt)
+    )(jax.random.key(8))  # row 0 holds the flat padded sample (timing only)
+    wt = jax.jit(
+        lambda k: (jax.random.normal(k, (CO, 16), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(9))
+    Mc = 8192
+    n_mc = (T * (F + 2)) // Mc + 1
+
+    def kern_c2(xf_ref, w_ref, out_ref):
+        offs = [dy * (F + 2) + dx for dy in range(3) for dx in range(3)]
+
+        def body(t, acc):
+            base = t * Mc
+            taps = jnp.concatenate(
+                [xf_ref[0, :1, pl.ds(base + o, Mc)] for o in offs]
+                + [jnp.zeros((7, Mc), dt)],
+                axis=0,
+            )  # (16, Mc)
+            y = jax.lax.dot_general(
+                w_ref[:], taps, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (CO, Mc)
+            return acc + jnp.sum(y)
+
+        csum(out_ref, jax.lax.fori_loop(0, n_mc, body, jnp.float32(0.0)))
+
+    fl1 = B * T * (F + 2) * CO * 18
+    cases.append(("c2 conv1 flat-shift w-lhs", kern_c2, xf,
+                  (1, 16, xf.shape[2]), wt, fl1))
+
+    for name, kern, arr, blk, warr, flops in cases:
+        try:
+            fn = run(kern, arr, blk, warr)
+            t = bench_slope(fn, arr, warr)
+            print(f"  {name:28s}: {t*1e3:7.2f} ms  ({flops/t/1e12:6.1f} TF/s)")
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            idx = msg.find("Mosaic")
+            if idx < 0:
+                idx = msg.find("Ran out of memory")
+            msg = msg[idx:idx + 260].replace("\n", " ") if idx >= 0 else msg[-260:]
+            print(f"  {name:28s}: FAILED {type(e).__name__}: {msg}")
+
+
+def stage16_bwd_fusion(B, dt):
+    """Can XLA fuse the epilogue-backward's passes into the neighboring
+    convs? Two hypotheses on the conv2->conv3 boundary shapes:
+      (a) consumer fusion: the s1/s2 reduction of dz2 = f(dh2, y2) fuses
+          into dgrad3's output pass (which writes dh2) — saving the
+          separate read of (dh2, y2).
+      (b) producer fusion: wgrad2/dgrad2 consume dy2 as a fused input
+          expression recomputed from (dh2, y2, s1, s2) — saving the dy2
+          materialization (write + 2 reads vs 2 recompute-reads).
+    All arrays passed as ARGUMENTS (closed-over device arrays embed as
+    compile-request constants and 413 the relay)."""
+    print(f"\n== stage 16: backward cross-pass fusion (B={B}) ==")
+    T2, F, CI2, CO2 = 160, 180, 32, 64       # block-2 geometry
+    T3 = 80
+    y2 = jax.jit(
+        lambda k: jax.random.normal(k, (B, T2, F, CO2), jnp.float32).astype(dt)
+    )(jax.random.key(0))
+    dy3 = jax.jit(
+        lambda k: jax.random.normal(k, (B, T3, F, 2 * CO2), jnp.float32).astype(dt)
+    )(jax.random.key(1))
+    w3 = jax.jit(
+        lambda k: (jax.random.normal(k, (3, 3, CO2, 2 * CO2), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(2))
+    h1 = jax.jit(
+        lambda k: jax.random.normal(k, (B, T2, F, CI2), jnp.float32).astype(dt)
+    )(jax.random.key(3))
+    w2 = jax.jit(
+        lambda k: (jax.random.normal(k, (3, 3, CI2, CO2), jnp.float32) * 0.1).astype(dt)
+    )(jax.random.key(4))
+    bits2 = jax.jit(
+        lambda k: jax.random.bits(k, (B, T3, F, CO2), jnp.uint8)
+    )(jax.random.key(5))
+    dh2c = jax.jit(
+        lambda k: jax.random.normal(k, (B, T3, F, CO2), jnp.float32).astype(dt)
+    )(jax.random.key(6))
+
+    def dgrad(dy, w):
+        return jax.lax.conv_general_dilated(
+            dy, jnp.flip(w, (0, 1)).swapaxes(2, 3), (1, 1), "SAME",
+            dimension_numbers=DN,
+        )
+
+    def dz2_of(dh2, y2, bits2):
+        """relu'(z2) * pool-upsample(byte-mask(dh2)): the epilogue-bwd
+        elementwise chain (affine params elided — same traffic)."""
+        keep = bits2 >= 51
+        dp = jnp.where(keep, dh2 * jnp.float32(1.25).astype(dt), 0)
+        da = jnp.repeat(dp, 2, axis=1) * jnp.float32(0.5).astype(dt)
+        return jnp.where(y2 > 0, da, 0)
+
+    # (a) consumer fusion probe
+    t_dg = bench_slope(dgrad, dy3, w3)
+
+    def dg_plus_sums(dy3, w3, y2, bits2):
+        dh2 = dgrad(dy3, w3)
+        dz = dz2_of(dh2, y2, bits2).astype(jnp.float32)
+        s1 = jnp.sum(dz, axis=(0, 1, 2))
+        s2 = jnp.sum(dz * y2.astype(jnp.float32), axis=(0, 1, 2))
+        return dh2, s1, s2
+
+    t_dgs = bench_slope(dg_plus_sums, dy3, w3, y2, bits2)
+    print(f"  dgrad3 alone                : {t_dg*1e3:7.2f} ms")
+    print(f"  dgrad3 + fused dz2 sums     : {t_dgs*1e3:7.2f} ms  (delta {(t_dgs-t_dg)*1e3:+.2f})")
+
+    # (b) producer fusion probe: wgrad2+dgrad2 from dy2
+    def dy2_expr(dh2, y2, bits2):
+        dz = dz2_of(dh2, y2, bits2)
+        return (dz.astype(jnp.float32) - 1e-4
+                - y2.astype(jnp.float32) * 1e-5).astype(dt)
+
+    def wgrad2(h1, dy2, w2):
+        _, vjp = jax.vjp(
+            lambda w: jax.lax.conv_general_dilated(
+                h1, w, (1, 1), "SAME", dimension_numbers=DN
+            ),
+            w2,
+        )
+        return vjp(dy2)[0]
+
+    def both_materialized(dh2, y2, bits2, h1, w2):
+        dy2 = dy2_expr(dh2, y2, bits2)
+        dy2 = jax.lax.optimization_barrier(dy2)  # force materialization
+        return wgrad2(h1, dy2, w2), dgrad(dy2, w2)
+
+    def both_fused(dh2, y2, bits2, h1, w2):
+        # two barrier-separated copies of the expression, one per consumer,
+        # so XLA may fuse each into its conv input instead of sharing
+        dh2a = jax.lax.optimization_barrier(dh2)
+        dh2b = jax.lax.optimization_barrier(dh2)
+        return (wgrad2(h1, dy2_expr(dh2a, y2, bits2), w2),
+                dgrad(dy2_expr(dh2b, y2, bits2), w2))
+
+    def both_shared(dh2, y2, bits2, h1, w2):
+        dy2 = dy2_expr(dh2, y2, bits2)
+        return wgrad2(h1, dy2, w2), dgrad(dy2, w2)
+
+    t_mat = bench_slope(both_materialized, dh2c, y2, bits2, h1, w2)
+    t_fus = bench_slope(both_fused, dh2c, y2, bits2, h1, w2)
+    t_shr = bench_slope(both_shared, dh2c, y2, bits2, h1, w2)
+    print(f"  wg2+dg2, dy2 materialized   : {t_mat*1e3:7.2f} ms")
+    print(f"  wg2+dg2, dy2 per-consumer   : {t_fus*1e3:7.2f} ms  (delta {(t_fus-t_mat)*1e3:+.2f})")
+    print(f"  wg2+dg2, dy2 shared (XLA)   : {t_shr*1e3:7.2f} ms  (delta {(t_shr-t_mat)*1e3:+.2f})")
+
+
+def stage17_hand_step(B, dt):
+    """The hand-scheduled backward (ops/train_chain.py) vs flax+jax.grad on
+    the production geometry. Compares loss+grads computation only (no
+    optimizer; identical between the two)."""
+    print(f"\n== stage 17: hand step vs AD step (B={B}) ==")
+    from dfac_tpu.models import build_model
+    from dfac_tpu.ops.train_chain import cnn2d_hand_loss_and_grad
+    from dfac_tpu.utils.rng import train_key
+
+    T, F = 321, 180
+    model = build_model("cnn2d", in_features=F,
+                        compute_dtype=dt if dt == jnp.bfloat16 else None)
+    x0 = jax.jit(lambda k: jax.random.normal(k, (1, T, F), jnp.float32))(
+        jax.random.key(0)
+    )
+    variables = model.init(jax.random.key(0), x0, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    x = jax.jit(lambda k: jax.random.normal(k, (B, T, F), jnp.float32))(
+        jax.random.key(1)
+    )
+    labels = jax.jit(
+        lambda k: (jax.random.uniform(k, (B,)) > 0.5).astype(jnp.float32)
+    )(jax.random.key(2))
+    weights = jnp.ones((B,), jnp.float32)
+    key = train_key(0)
+
+    def ad_step(params, batch_stats, x, labels, weights, key):
+        def loss_fn(p):
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": key},
+            )
+            logits = out.reshape(-1)
+            per = optax.sigmoid_binary_cross_entropy(logits, labels)
+            return jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1.0), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, mutated["batch_stats"]
+
+    def hand_step(params, batch_stats, x, labels, weights, key):
+        keys = jax.random.split(key, 2)
+        (loss, new_stats), grads = cnn2d_hand_loss_and_grad(
+            params, batch_stats, x, keys, labels, weights,
+            dropout_rate=0.2, compute_dtype=dt if dt == jnp.bfloat16 else None,
+        )
+        return loss, grads, new_stats
+
+    for name, fn in (("flax + jax.grad", ad_step), ("hand backward", hand_step)):
+        t = bench_slope(fn, params, batch_stats, x, labels, weights, key,
+                        perturb=2)
+        print(f"  {name:28s}: {t*1e3:7.2f} ms  ({B/t:9,.0f} utt/s)")
 
 
 def main():
@@ -923,6 +1677,18 @@ def main():
         stage10_epi3_head(args.batch, dt)
     if "11" in stages:
         stage11_pallas_conv1(args.batch, dt)
+    if "12" in stages:
+        stage12_conv_formulations(args.batch, dt)
+    if "13" in stages:
+        stage13_conv_aligned(args.batch, dt)
+    if "14" in stages:
+        stage14_conv_chunked(args.batch, dt)
+    if "15" in stages:
+        stage15_conv2_chunks(args.batch, dt)
+    if "16" in stages:
+        stage16_bwd_fusion(args.batch, dt)
+    if "17" in stages:
+        stage17_hand_step(args.batch, dt)
 
 
 if __name__ == "__main__":
