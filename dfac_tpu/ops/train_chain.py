@@ -53,7 +53,12 @@ class _BlockRes(NamedTuple):
     y: jax.Array         # conv output + bias (compute dtype)
     mean: jax.Array      # (C,) f32 batch mean
     r: jax.Array         # (C,) f32 rsqrt(var + eps)
-    bits: jax.Array | None  # u8 dropout bytes (blocks 1-2), else None
+    key: jax.Array | None  # dropout PRNG key (blocks 1-2), else None
+    # The u8 dropout bytes are NOT stored: jax.random.bits(key, shape) is
+    # deterministic per (key, shape), so the backward regenerates them.
+    # Storing them would force the forward to materialize the bits tensor
+    # (a write) and the backward to read it back — ~0.7 GB of HBM traffic
+    # per step at B=512 that the VPU regenerates essentially for free.
 
 
 def _block_forward(h, kernel, bias, scale, bn_bias, key, *, dt, thresh, eps):
@@ -76,7 +81,6 @@ def _block_forward(h, kernel, bias, scale, bn_bias, key, *, dt, thresh, eps):
     z = ((yf - mean) * r * scale + bn_bias).astype(y.dtype)
     a = jnp.maximum(z, 0)
 
-    bits = None
     if key is not None:
         p = avg_pool(a, (2, 1))
         bits = jax.random.bits(key, p.shape, jnp.uint8)
@@ -85,7 +89,7 @@ def _block_forward(h, kernel, bias, scale, bn_bias, key, *, dt, thresh, eps):
                         jnp.zeros((), p.dtype))
     else:
         out = a
-    return out, _BlockRes(h, y, mean, r, bits), var
+    return out, _BlockRes(h, y, mean, r, key), var
 
 
 def cnn2d_train_forward(
@@ -206,9 +210,11 @@ def cnn2d_train_backward(params, aux, x, labels, weights, *,
         res = residuals[i - 1]
         bn = params[f"bn{i}"]
         if i < 3:
-            # dropout backward then pool backward
-            if res.bits is not None:
-                dp = jnp.where(res.bits >= thresh,
+            # dropout backward (bits regenerated from the stored key —
+            # deterministic per (key, shape)) then pool backward
+            if res.key is not None:
+                bits = jax.random.bits(res.key, dh.shape, jnp.uint8)
+                dp = jnp.where(bits >= thresh,
                                dh * jnp.asarray(keep_inv, dh.dtype),
                                jnp.zeros((), dh.dtype))
             else:

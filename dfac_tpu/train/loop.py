@@ -180,7 +180,49 @@ def make_train_step(
     label_smoothing: float,
     augment_fn: Callable | None,
 ):
-    """Build the jit'd supervised train step (one fused device program)."""
+    """Build the jit'd supervised train step (one fused device program).
+
+    For single-device CNN2D the step runs the hand-scheduled
+    forward/backward (:mod:`dfac_tpu.ops.train_chain`) instead of
+    ``jax.value_and_grad`` over ``model.apply`` — same math (parity-tested),
+    but with the backward's pass structure under our control; it also
+    regenerates dropout bytes in the backward rather than storing them
+    (~0.7 GB/step less HBM traffic at B=512). The flax-AD path remains for
+    every other model and for data-parallel BN (``axis_name`` sync)."""
+    from dfac_tpu.models.cnn2d import CNN2D
+
+    if (
+        isinstance(model, CNN2D)
+        and model.axis_name is None
+        and model.num_classes == 1
+    ):
+        from dfac_tpu.ops.train_chain import cnn2d_hand_loss_and_grad
+
+        @jax.jit
+        def hand_train_step(state: TrainState, feats, labels, weights):
+            next_key, aug_key, drop_key = jax.random.split(state.key, 3)
+            x = jnp.transpose(feats, (0, 2, 1)) if swap_tf else feats
+            if augment_fn is not None:
+                x = augment_fn(aug_key, x)
+            drop_keys = jax.random.split(drop_key, 2)
+            (loss, new_stats), grads = cnn2d_hand_loss_and_grad(
+                state.params, state.batch_stats, x, drop_keys, labels,
+                weights, dropout_rate=model.dropout,
+                label_smoothing=label_smoothing,
+                compute_dtype=model.compute_dtype,
+            )
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                key=next_key,
+            )
+            count = jnp.sum(weights)
+            return new_state, loss * count, count
+
+        return hand_train_step
 
     @jax.jit
     def train_step(state: TrainState, feats, labels, weights):
