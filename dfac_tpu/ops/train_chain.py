@@ -176,7 +176,6 @@ def cnn2d_train_backward(params, aux, x, labels, weights, *,
     thresh = int(round(dropout_rate * 256))
     residuals = aux["residuals"]
     logits, emb = aux["logits"], aux["emb"]
-    B = emb.shape[0]
     precision = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
     # loss -> logits

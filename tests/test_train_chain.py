@@ -146,3 +146,29 @@ def test_end_to_end_vs_flax_grads(setup):
             h, a, atol=1e-5 * (gmax + 1e-12), rtol=1e-4,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_make_train_step_dispatch():
+    """CNN2D (single-device) gets the hand-scheduled step; DP-BN models and
+    other architectures keep the flax-AD step."""
+    import optax as _optax
+
+    from dfac_tpu.train.loop import make_train_step
+
+    tx = _optax.adam(1e-3)
+    hand = make_train_step(
+        build_model("cnn2d", in_features=F, base_channels=8),
+        tx, False, 0.0, None,
+    )
+    assert "hand" in hand.__wrapped__.__name__
+
+    dp = make_train_step(
+        build_model("cnn2d", in_features=F, base_channels=8, axis_name="data"),
+        tx, False, 0.0, None,
+    )
+    assert "hand" not in dp.__wrapped__.__name__
+
+    other = make_train_step(
+        build_model("cnn1d", in_features=F), tx, False, 0.0, None,
+    )
+    assert "hand" not in other.__wrapped__.__name__
