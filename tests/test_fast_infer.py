@@ -204,3 +204,35 @@ def test_cae_fast_mse_matches_reference_path(rng):
     np.testing.assert_allclose(got32, ref, rtol=1e-4)
     got16 = np.asarray(cae_fast_mse(folded, jnp.asarray(feats_stored), mean, std))
     np.testing.assert_allclose(got16, ref, rtol=0.1)  # bf16 activations
+
+
+def test_fast_path_streams_from_npy_store(rng, tmp_path):
+    """The production disk -> scores composition: a memory-mapped npy store
+    fed through the folded-BN fast chain (host bf16 cast + async
+    device_put per batch, ``models/fast_infer._ingest``) must match
+    scoring the same corpus from memory."""
+    from dfac_tpu.data.pipeline import ArrayDataset, load_dataset
+    from dfac_tpu.io.npy_store import save_npy_dataset
+    from dfac_tpu.models.fast_infer import predict_scores_fast
+
+    model, variables = _trained_like_variables(rng)
+    n = 11  # deliberately not a multiple of the batch size (tail masking)
+    feats = rng.normal(size=(n, F_, T_)).astype(np.float32)
+    ds_mem = ArrayDataset(
+        uttids=[f"u{i}" for i in range(n)], features=feats, labels=None
+    )
+    store = str(tmp_path / "store")
+    save_npy_dataset(ds_mem, store)
+    ds_disk = load_dataset(store)  # memmapped features
+
+    kw = dict(batch_size=4, swap_tf=True, apply_sigmoid=True,
+              compute_dtype=jnp.float32)
+    from_mem = predict_scores_fast(variables, ds_mem, **kw)
+    from_disk = predict_scores_fast(variables, ds_disk, **kw)
+    assert from_disk.shape == (n,)
+    np.testing.assert_allclose(from_disk, from_mem, atol=1e-6)
+
+    # bf16 ingest (the production default): same path, host-side cast
+    kw["compute_dtype"] = jnp.bfloat16
+    bf16_disk = predict_scores_fast(variables, ds_disk, **kw)
+    np.testing.assert_allclose(bf16_disk, from_mem, atol=2e-2)
