@@ -240,6 +240,29 @@ class ConvTranspose2dTorch(nn.Module):
         return y + bias
 
 
+def byte_dropout_thresh(rate: float) -> int:
+    """Quantized dropout threshold: one uint8 byte per element is compared
+    against ``round(rate * 256)``. Clamped to [0, 256]; <= 0 keeps
+    everything, 256 drops everything (torch's rate=1.0 -> zeros). The ONE
+    place the quantization rule lives — FastDropout and the hand-scheduled
+    training chain (ops/train_chain.py) must draw identical masks."""
+    return max(0, min(int(round(rate * 256)), 256))
+
+
+def apply_byte_dropout(x: jax.Array, bits: jax.Array, thresh: int) -> jax.Array:
+    """Keep elements whose byte >= thresh, rescaled by the true quantized
+    keep probability (E[output] == input exactly). ``thresh`` must come
+    from :func:`byte_dropout_thresh`; 0 and 256 are handled without
+    touching ``bits`` (256 would not fit in uint8)."""
+    if thresh <= 0:
+        return x
+    if thresh >= 256:
+        return jnp.zeros_like(x)
+    keep_p = 1.0 - thresh / 256.0
+    return jnp.where(bits >= thresh, x / jnp.asarray(keep_p, x.dtype),
+                     jnp.zeros((), x.dtype))
+
+
 class FastDropout(nn.Module):
     """Element dropout from one random BYTE per element.
 
@@ -255,7 +278,8 @@ class FastDropout(nn.Module):
     The reference has no RNG-bit contract (it uses python/torch global
     RNGs); the <=2e-3 absolute rate quantization is far below the
     run-to-run noise of retrained models. Rates that quantize to 0 keep
-    everything (identical to rate 0).
+    everything (identical to rate 0); rates that quantize to 256
+    (rate >= ~0.998) drop everything, matching torch's rate=1.0.
     """
 
     rate: float
@@ -263,14 +287,22 @@ class FastDropout(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool | None = None) -> jax.Array:
-        det = deterministic if deterministic is not None else self.deterministic
-        thresh = int(round(self.rate * 256))
+        if deterministic is None and self.deterministic is None:
+            # mirror nn.Dropout's merge_param contract instead of silently
+            # treating "unresolved" as train mode
+            raise ValueError(
+                "FastDropout: 'deterministic' must be set via the "
+                "constructor or the call argument"
+            )
+        det = self.deterministic if deterministic is None else deterministic
+        thresh = byte_dropout_thresh(self.rate)
         if det or thresh <= 0:
             return x
+        if thresh >= 256:
+            return jnp.zeros_like(x)
         key = self.make_rng("dropout")
         bits = jax.random.bits(key, x.shape, jnp.uint8)
-        keep_p = 1.0 - thresh / 256.0
-        return jnp.where(bits >= thresh, x / jnp.asarray(keep_p, x.dtype), jnp.zeros((), x.dtype))
+        return apply_byte_dropout(x, bits, thresh)
 
 
 class ChannelDropout(nn.Module):

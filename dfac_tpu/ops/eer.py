@@ -171,9 +171,16 @@ def eer_jax(scores: jax.Array, labels: jax.Array) -> tuple[jax.Array, jax.Array]
 def eer_device(scores, labels) -> tuple[float, float]:
     """EER computed on device, finalized on host in float64.
 
-    Bit-exact vs :func:`calculate_eer` at any size below 2^31 rows: the
-    sort, cumsum, and exact-u64 crossing search run on the accelerator;
-    only the two final divisions run on host in float64.
+    The sort, cumsum, and exact-u64 crossing search run on the
+    accelerator; only the two final divisions run on host in float64. The
+    crossing argmin is over EXACT integer numerators, so the returned EER
+    is the true discrete minimum at any size below 2^31 rows. Bit-parity
+    with the float64 reference (:func:`calculate_eer`,
+    ``scripts/evaluation.py:7-39``) additionally requires that float64 can
+    still order the reference's |far - frr| values — guaranteed while
+    ns * nb < 2^52 (~1.3e8 balanced rows); beyond that the reference
+    itself can mis-order one-count ties that this exact search resolves
+    correctly.
     """
     far_num, frr_num, ns, nb, threshold = jax.device_get(
         eer_counts_jax(jnp.asarray(scores), jnp.asarray(labels))

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from dfac_tpu.models.common import avg_pool
+from dfac_tpu.models.common import apply_byte_dropout, avg_pool, byte_dropout_thresh
 from dfac_tpu.train.optim import smooth_labels
 
 DN = ("NHWC", "HWIO", "NHWC")
@@ -68,7 +68,7 @@ def _block_forward(h, kernel, bias, scale, bn_bias, key, *, dt, thresh, eps):
     normalize in f32, cast back to compute dtype, pool via the depthwise
     conv, dropout from one u8 byte per element.
     """
-    precision = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    precision = jax.lax.Precision.HIGHEST if dt is None else None
     kdt = kernel.astype(dt) if dt is not None else kernel
     bdt = bias.astype(dt) if dt is not None else bias
     y = _conv(h, kdt, precision) + bdt
@@ -83,10 +83,11 @@ def _block_forward(h, kernel, bias, scale, bn_bias, key, *, dt, thresh, eps):
 
     if key is not None:
         p = avg_pool(a, (2, 1))
-        bits = jax.random.bits(key, p.shape, jnp.uint8)
-        keep_p = 1.0 - thresh / 256.0
-        out = jnp.where(bits >= thresh, p / jnp.asarray(keep_p, p.dtype),
-                        jnp.zeros((), p.dtype))
+        if thresh >= 256:
+            out = jnp.zeros_like(p)
+        else:
+            bits = jax.random.bits(key, p.shape, jnp.uint8)
+            out = apply_byte_dropout(p, bits, thresh)
     else:
         out = a
     return out, _BlockRes(h, y, mean, r, key), var
@@ -115,7 +116,7 @@ def cnn2d_train_forward(
     determinism only).
     """
     dt = compute_dtype
-    thresh = int(round(dropout_rate * 256))
+    thresh = byte_dropout_thresh(dropout_rate)
     h = x[..., None].astype(dt or x.dtype)
 
     residuals, stats = [], []
@@ -137,7 +138,7 @@ def cnn2d_train_forward(
     d = params["classifier"]["dense"]
     kdt = d["kernel"].astype(dt) if dt is not None else d["kernel"]
     bdt = d["bias"].astype(dt) if dt is not None else d["bias"]
-    precision = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    precision = jax.lax.Precision.HIGHEST if dt is None else None
     logits = (
         jax.lax.dot_general(emb, kdt, (((1,), (0,)), ((), ())),
                             precision=precision) + bdt
@@ -173,10 +174,10 @@ def cnn2d_train_backward(params, aux, x, labels, weights, *,
     the formula degrades identically to jax.grad's).
     """
     dt = compute_dtype
-    thresh = int(round(dropout_rate * 256))
+    thresh = byte_dropout_thresh(dropout_rate)
     residuals = aux["residuals"]
     logits, emb = aux["logits"], aux["emb"]
-    precision = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    precision = jax.lax.Precision.HIGHEST if dt is None else None
 
     # loss -> logits
     denom = jnp.maximum(jnp.sum(weights), 1.0)
@@ -201,21 +202,20 @@ def cnn2d_train_backward(params, aux, x, labels, weights, *,
     )
 
     grads = {"classifier": {"dense": {"kernel": dWc, "bias": dbc}}}
-    keep_inv = None
-    if thresh > 0:
-        keep_inv = 1.0 / (1.0 - thresh / 256.0)
 
     for i in (3, 2, 1):
         res = residuals[i - 1]
         bn = params[f"bn{i}"]
         if i < 3:
             # dropout backward (bits regenerated from the stored key —
-            # deterministic per (key, shape)) then pool backward
-            if res.key is not None:
+            # deterministic per (key, shape)) then pool backward; dropout
+            # is a self-adjoint diagonal map, so the backward IS
+            # apply_byte_dropout with the same bits
+            if res.key is not None and thresh >= 256:
+                dp = jnp.zeros_like(dh)
+            elif res.key is not None:
                 bits = jax.random.bits(res.key, dh.shape, jnp.uint8)
-                dp = jnp.where(bits >= thresh,
-                               dh * jnp.asarray(keep_inv, dh.dtype),
-                               jnp.zeros((), dh.dtype))
+                dp = apply_byte_dropout(dh, bits, thresh)
             else:
                 dp = dh
             _, pool_vjp = jax.vjp(lambda a: avg_pool(a, (2, 1)),

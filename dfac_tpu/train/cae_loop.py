@@ -498,6 +498,15 @@ class CAETrainer:
         epoch_scan = None
         feats_resident = None
         resident = cfg.device_resident and cfg.data_parallel <= 1
+        if cfg.device_resident and not resident:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device_resident is ignored with data_parallel=%d: the CAE "
+                "epoch falls back to per-batch host-fed dispatch (a "
+                "host/relay round trip per step). Drop --data-parallel or "
+                "--device-resident to silence this.", cfg.data_parallel,
+            )
         if resident:
             feats_resident = jax.device_put(jnp.asarray(bona_train.features))
             epoch_scan = make_cae_epoch_scan(

@@ -463,6 +463,15 @@ class DetectorTrainer:
 
         n_batches_epoch = -(-n // cfg.batch_size)
         epoch_scan = feats_d = lengths_d = labels_d = None
+        if cfg.device_resident and dp > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "device_resident is ignored with data_parallel=%d: the "
+                "detector epoch falls back to per-batch host-fed dispatch "
+                "(a host/relay round trip per step). Drop --data-parallel "
+                "or --device-resident to silence this.", dp,
+            )
         if cfg.device_resident and dp <= 1:
             epoch_scan = make_detector_epoch_scan(
                 self.model, self.tx, cfg, pos_weight, n, cfg.batch_size

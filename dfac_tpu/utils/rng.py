@@ -40,7 +40,17 @@ def train_key(seed: int, impl: str | None = None) -> jax.Array:
     (e.g. ``'threefry2x32'`` for cross-environment bit reproducibility).
     """
     impl = impl or os.environ.get("DFAC_TPU_PRNG") or "rbg"
+    impl = {"threefry": "threefry2x32"}.get(impl, impl)
+    known = {"rbg", "unsafe_rbg", "threefry2x32"}
+    if impl not in known:
+        # fail loudly: a typo'd DFAC_TPU_PRNG silently falling back to the
+        # default generator would defeat the reproducibility override
+        raise ValueError(
+            f"unknown PRNG impl {impl!r} (DFAC_TPU_PRNG/impl); "
+            f"choose one of {sorted(known)} or 'threefry'"
+        )
     try:
         return jax.random.key(seed, impl=impl)
-    except (TypeError, ValueError):
+    except TypeError:
+        # old jax without the impl kwarg: backend-default generator
         return jax.random.key(seed)

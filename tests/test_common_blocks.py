@@ -95,3 +95,59 @@ def test_convtranspose_output_padding_column_is_bias_only(rng):
     assert y.shape == (1, 6, 9, 2)  # 2x upsample + 1 extra column
     bias = np.asarray(variables["params"]["bias"])
     np.testing.assert_allclose(y[0, :, -1, :], np.broadcast_to(bias, (6, 2)), atol=1e-6)
+
+
+def test_fast_dropout_rate_one_drops_everything():
+    """rate=1.0 (thresh 256) must produce zeros like nn.Dropout, not
+    uint8-overflow or divide by keep_p=0."""
+    import flax.linen as nn
+
+    from dfac_tpu.models.common import FastDropout
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return FastDropout(1.0, deterministic=False)(x)
+
+    x = jnp.ones((4, 8))
+    y = M().apply({}, x, rngs={"dropout": jax.random.key(0)})
+    np.testing.assert_array_equal(np.asarray(y), 0.0)
+
+
+def test_fast_dropout_unresolved_deterministic_raises():
+    import flax.linen as nn
+    import pytest as _pytest
+
+    from dfac_tpu.models.common import FastDropout
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return FastDropout(0.2)(x)
+
+    with _pytest.raises(ValueError, match="deterministic"):
+        M().apply({}, jnp.ones((2, 2)), rngs={"dropout": jax.random.key(0)})
+
+
+def test_byte_dropout_helper_shared_semantics():
+    from dfac_tpu.models.common import apply_byte_dropout, byte_dropout_thresh
+
+    assert byte_dropout_thresh(0.0) == 0
+    assert byte_dropout_thresh(0.2) == 51
+    assert byte_dropout_thresh(1.0) == 256
+    x = jnp.full((3, 3), 2.0)
+    bits = jnp.zeros((3, 3), jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(apply_byte_dropout(x, bits, 0)), 2.0)
+    np.testing.assert_array_equal(np.asarray(apply_byte_dropout(x, bits, 256)), 0.0)
+
+
+def test_train_key_rejects_unknown_impl(monkeypatch):
+    import pytest as _pytest
+
+    from dfac_tpu.utils.rng import train_key
+
+    monkeypatch.setenv("DFAC_TPU_PRNG", "threefrey")  # typo
+    with _pytest.raises(ValueError, match="unknown PRNG impl"):
+        train_key(0)
+    monkeypatch.setenv("DFAC_TPU_PRNG", "threefry")  # alias works
+    train_key(0)
