@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--fast", action="store_true",
                    help="folded-BN fused serving chains for BOTH legs "
                    "(bf16 with f32 accumulation; cnn2d/cnn1d + CAE)")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard each scoring batch over N devices (requires "
+                   "--fast with cnn2d; both legs run per shard)")
     p.add_argument("--device", default=None)
     return p.parse_args(argv)
 
@@ -59,7 +62,36 @@ def main(argv=None):
     cae_vars = load_model_variables(args.cae_checkpoint, model_name="cae")
     normalizer = FeatureNormalizer.load(args.normalizer)
 
-    if args.fast:
+    if args.data_parallel > 1:
+        if not args.fast or args.cnn_model != "cnn2d":
+            raise SystemExit("--data-parallel requires --fast with --cnn-model cnn2d")
+        if args.batch_size % args.data_parallel:
+            raise SystemExit("--batch-size must divide by --data-parallel")
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dfac_tpu.data.pipeline import batch_iterator
+        from dfac_tpu.models.fast_infer import fold_cae, fold_cnn2d
+        from dfac_tpu.parallel.mesh import make_mesh
+        from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
+
+        mesh = make_mesh(n_data=args.data_parallel)
+        scorer = make_sharded_hybrid_scorer(mesh)
+        folded_sup, folded_cae = fold_cnn2d(cnn_vars), fold_cae(cae_vars)
+        mean = jnp.asarray(normalizer.mean)
+        std = jnp.asarray(normalizer.std)
+        sup_chunks, mse_chunks, masks = [], [], []
+        for batch in batch_iterator(ds, args.batch_size):
+            s, m = scorer(
+                folded_sup, folded_cae, mean, std, jnp.asarray(batch.features)
+            )
+            sup_chunks.append(s)
+            mse_chunks.append(m)
+            masks.append(batch.weights > 0)
+        keep = np.concatenate(masks)
+        sup = np.asarray(jnp.concatenate(sup_chunks))[keep]
+        cae_s = np.asarray(jnp.concatenate(mse_chunks))[keep]
+    elif args.fast:
         # both legs through the folded-BN fused chains (models/fast_infer.py)
         from dfac_tpu.models.fast_infer import cae_mse_scores_fast
 

@@ -200,3 +200,52 @@ def make_sharded_corpus_scorer(
         return sharded(variables, corpus3d).reshape(-1)
 
     return score
+
+
+def make_sharded_hybrid_scorer(
+    mesh: Mesh,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+    axis_name: str = "data",
+):
+    """jit'd sharded HYBRID scorer over precomputed features: both
+    submission legs — folded CNN2D sigmoid scores and folded CAE
+    per-sample reconstruction MSE — computed per shard from one
+    batch-sharded feature tensor.
+
+    ``(folded_sup, folded_cae, mean, std, feats (B, F, T)) ->
+    ((B,) sup scores, (B,) mse)``; fusion (corpus-global min-max
+    normalization + the alpha blend, reference
+    ``src/predict_hybrid.py:52-78``) stays on host because it needs
+    whole-corpus extrema. Per-sample math is identical to the single-chip
+    fast chains (``models/fast_infer.py``); B must divide by the mesh's
+    ``axis_name`` size. Scores are embarrassingly parallel — no
+    collectives; throughput scales linearly over ICI.
+    """
+    from dfac_tpu.models.fast_infer import (
+        cae_fast_mse,
+        cnn2d_fast_scores,
+        cnn2d_fast_scores_tf,
+    )
+
+    def per_shard(folded_sup, folded_cae, mean, std, feats):
+        score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
+        sup = score(
+            folded_sup, feats, apply_sigmoid=apply_sigmoid,
+            compute_dtype=compute_dtype,
+        )
+        mse = cae_fast_mse(
+            folded_cae, feats, mean, std, swap_tf=swap_tf,
+            compute_dtype=compute_dtype,
+        )
+        return sup, mse
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name)),
+        )
+    )

@@ -163,3 +163,48 @@ def test_predict_hybrid_fast_matches_slow(corpus, artifacts, tmp_path, capsys):
 
     rho = spearmanr(fast, slow).statistic
     assert rho > 0.99
+
+
+def test_predict_hybrid_data_parallel_matches_fast(corpus, artifacts, tmp_path, capsys):
+    """--data-parallel shards both folded legs over the virtual mesh; the
+    fused predictions must match the single-device --fast run (identical
+    per-sample math, same bf16 chains)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from dfac_tpu.cli import predict_hybrid as pred_cli
+
+    fast_path = str(tmp_path / "fast.pkl")
+    dp_path = str(tmp_path / "dp.pkl")
+    common = [
+        "--features", str(corpus / "dev/features.pkl"),
+        "--cnn-checkpoint", str(artifacts / "cnn2d_best.ckpt"),
+        "--cae-checkpoint", str(artifacts / "cae_best.ckpt"),
+        "--normalizer", str(artifacts / "normalizer.npz"),
+        "--alpha", "0.8", "--batch-size", "8",
+        "--in-features", str(F_), "--base-channels", "4", "--fast",
+    ]
+    pred_cli.main(common + ["--out", fast_path])
+    pred_cli.main(common + ["--out", dp_path, "--data-parallel", "4"])
+    capsys.readouterr()
+    fast = pd.read_pickle(fast_path)["predictions"].to_numpy()
+    dp = pd.read_pickle(dp_path)["predictions"].to_numpy()
+    np.testing.assert_allclose(dp, fast, atol=2e-3)
+
+
+def test_predict_hybrid_data_parallel_guards(corpus, artifacts, tmp_path):
+    from dfac_tpu.cli import predict_hybrid as pred_cli
+
+    common = [
+        "--features", str(corpus / "dev/features.pkl"),
+        "--cnn-checkpoint", str(artifacts / "cnn2d_best.ckpt"),
+        "--cae-checkpoint", str(artifacts / "cae_best.ckpt"),
+        "--normalizer", str(artifacts / "normalizer.npz"),
+        "--out", str(tmp_path / "x.pkl"),
+    ]
+    with pytest.raises(SystemExit, match="--fast"):
+        pred_cli.main(common + ["--data-parallel", "4"])
+    with pytest.raises(SystemExit, match="batch-size"):
+        pred_cli.main(common + ["--fast", "--data-parallel", "3",
+                                "--batch-size", "8"])

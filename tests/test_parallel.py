@@ -407,3 +407,39 @@ def test_detector_trainer_dp_fit_converges(rng, eight_devices):
     result = trainer.fit(ds, ds)
     assert np.isfinite(result["best_eer"])
     assert len(result["history"]) == 2
+
+
+def test_sharded_hybrid_scorer_matches_single_device(rng, eight_devices):
+    """Both hybrid submission legs (folded CNN2D scores + folded CAE MSE)
+    sharded over 8 devices must match the single-device fast chains."""
+    from dfac_tpu.models.fast_infer import (
+        cae_fast_mse,
+        cnn2d_fast_scores,
+        fold_cae,
+        fold_cnn2d,
+    )
+    from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
+
+    F, T, B = 36, 33, 16
+    sup_model = build_model("cnn2d", in_features=F, base_channels=8)
+    cae_model = build_model("cae", base_channels=4)
+    sup_vars = sup_model.init({"params": jax.random.key(0)}, jnp.zeros((1, T, F)))
+    cae_vars = cae_model.init({"params": jax.random.key(1)}, jnp.zeros((1, F, T)))
+    # non-trivial running stats, as after training
+    for variables in (sup_vars, cae_vars):
+        for name, d in variables["batch_stats"].items():
+            d["mean"] = jnp.asarray(rng.normal(size=d["mean"].shape) * 0.2, jnp.float32)
+            d["var"] = jnp.asarray(rng.random(d["var"].shape) + 0.5, jnp.float32)
+    folded_sup, folded_cae = fold_cnn2d(sup_vars), fold_cae(cae_vars)
+    mean = jnp.asarray(rng.normal(size=(F,)), jnp.float32)
+    std = jnp.asarray(rng.random(F) + 0.5, jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, F, T)).astype(np.float32))
+
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    scorer = make_sharded_hybrid_scorer(mesh, compute_dtype=jnp.float32)
+    sup_sh, mse_sh = scorer(folded_sup, folded_cae, mean, std, feats)
+
+    sup_ref = cnn2d_fast_scores(folded_sup, feats, compute_dtype=jnp.float32)
+    mse_ref = cae_fast_mse(folded_cae, feats, mean, std, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(sup_sh), np.asarray(sup_ref), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mse_sh), np.asarray(mse_ref), rtol=2e-5, atol=1e-6)
