@@ -44,8 +44,8 @@ def main(argv=None):
     args = parse_args(argv)
     if args.fast and args.model != "cnn2d":
         raise SystemExit("--fast supports cnn2d checkpoints only")
-    if args.fast and args.data_parallel > 1:
-        raise SystemExit("--fast and --data-parallel are mutually exclusive")
+    if args.fast and args.data_parallel > 1 and args.batch_size % args.data_parallel:
+        raise SystemExit("--batch-size must divide by --data-parallel")
     if args.device:
         import jax
 
@@ -74,7 +74,23 @@ def main(argv=None):
 
         mesh = make_mesh(n_data=args.data_parallel)
 
-    if args.fast:
+    if args.fast and mesh is not None:
+        # folded-BN chain sharded over the mesh, batch by batch
+        from dfac_tpu.models.fast_infer import _ingest, fold_cnn2d
+        from dfac_tpu.parallel.serving import make_sharded_cnn2d_feature_scorer
+        from dfac_tpu.train.evaluate import collect_masked_scores
+
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        folded = fold_cnn2d(variables)
+        scorer = make_sharded_cnn2d_feature_scorer(
+            mesh, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
+            compute_dtype=dtype,
+        )
+        scores = collect_masked_scores(
+            lambda batch: scorer(folded, _ingest(batch.features, dtype)),
+            ds, args.batch_size,
+        )
+    elif args.fast:
         from dfac_tpu.models.fast_infer import predict_scores_fast
 
         scores = predict_scores_fast(

@@ -249,3 +249,34 @@ def make_sharded_hybrid_scorer(
             out_specs=(P(axis_name), P(axis_name)),
         )
     )
+
+
+def make_sharded_cnn2d_feature_scorer(
+    mesh: Mesh,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+    axis_name: str = "data",
+):
+    """jit'd sharded folded-CNN2D scorer over precomputed features:
+    ``(folded, feats (B, F, T) stored or (B, T, F) when swap_tf=False) ->
+    (B,) scores`` — the ``dfac-predict --fast --data-parallel`` chain.
+    Per-sample math identical to the single-chip folded composition; B
+    must divide by the mesh's ``axis_name`` size."""
+    from dfac_tpu.models.fast_infer import cnn2d_fast_scores, cnn2d_fast_scores_tf
+
+    def per_shard(folded, feats):
+        score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
+        return score(
+            folded, feats, apply_sigmoid=apply_sigmoid,
+            compute_dtype=compute_dtype,
+        )
+
+    return jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name)),
+            out_specs=P(axis_name),
+        )
+    )

@@ -188,6 +188,22 @@ def test_predict_fast_matches_standard(corpus_dir, tmp_path):
         outs["fast"]["predictions"], outs["std"]["predictions"], atol=2e-5
     )
 
+    # --fast + --data-parallel: the folded chain sharded over the virtual
+    # mesh must reproduce the single-device fast output exactly (f32)
+    import jax
+
+    if len(jax.devices()) >= 4:
+        dp_path = str(tmp_path / "pred_fast_dp.pkl")
+        predict_cli.main([
+            "--features", str(corpus_dir / "test/features.pkl"),
+            "--checkpoint", ckpt, "--model", "cnn2d", "--out", dp_path,
+            "--batch-size", "8", "--fast", "--data-parallel", "4",
+        ])
+        dp = pd.read_pickle(dp_path)
+        np.testing.assert_allclose(
+            dp["predictions"], outs["fast"]["predictions"], atol=1e-6
+        )
+
 
 def test_predict_fast_rejects_unsupported_combos(corpus_dir):
     from dfac_tpu.cli import predict as predict_cli
@@ -202,5 +218,6 @@ def test_predict_fast_rejects_unsupported_combos(corpus_dir):
         predict_cli.main([
             "--features", str(corpus_dir / "test/features.pkl"),
             "--checkpoint", "nonexistent", "--model", "cnn2d",
-            "--out", "x.pkl", "--fast", "--data-parallel", "4",
+            "--out", "x.pkl", "--fast", "--data-parallel", "3",
+            "--batch-size", "8",
         ])
