@@ -34,6 +34,13 @@ os.environ["XLA_FLAGS"] = (
 )
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize-registered accelerator plugins pin jax_platforms,
+    # silently overriding the env var; re-assert the user's choice (and
+    # avoid hanging on an unreachable accelerator relay).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 import optax
