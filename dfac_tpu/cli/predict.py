@@ -27,9 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument(
         "--fast", action="store_true",
-        help="cnn2d only: folded-BatchNorm transpose-free serving chain "
-        "(the bench.py path, ~1.3x model.apply; scores match to bf16/f32 "
-        "rounding — see models/fast_infer.py)",
+        help="folded-BatchNorm fused serving chain (cnn2d: the bench.py "
+        "transpose-free path, ~1.3x model.apply; cnn1d: folded BN1d chain; "
+        "scores match to bf16/f32 rounding — see models/fast_infer.py)",
     )
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (0 = single device)")
@@ -42,8 +42,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.fast and args.model != "cnn2d":
-        raise SystemExit("--fast supports cnn2d checkpoints only")
+
     if args.fast and args.data_parallel > 1 and args.batch_size % args.data_parallel:
         raise SystemExit("--batch-size must divide by --data-parallel")
     if args.device:
@@ -76,19 +75,28 @@ def main(argv=None):
 
     if args.fast and mesh is not None:
         # folded-BN chain sharded over the mesh, batch by batch
-        from dfac_tpu.models.fast_infer import _ingest, fold_cnn2d
+        from dfac_tpu.models.fast_infer import _ingest, fold_cnn1d, fold_cnn2d
         from dfac_tpu.parallel.serving import make_sharded_cnn2d_feature_scorer
         from dfac_tpu.train.evaluate import collect_masked_scores
 
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-        folded = fold_cnn2d(variables)
+        folded = (fold_cnn2d if args.model == "cnn2d" else fold_cnn1d)(variables)
         scorer = make_sharded_cnn2d_feature_scorer(
             mesh, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
-            compute_dtype=dtype,
+            compute_dtype=dtype, model=args.model,
         )
         scores = collect_masked_scores(
             lambda batch: scorer(folded, _ingest(batch.features, dtype)),
             ds, args.batch_size,
+        )
+    elif args.fast and args.model == "cnn1d":
+        from dfac_tpu.models.fast_infer import predict_scores_fast_cnn1d
+
+        scores = predict_scores_fast_cnn1d(
+            variables, ds,
+            batch_size=args.batch_size, swap_tf=args.swap_tf,
+            apply_sigmoid=args.apply_sigmoid,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         )
     elif args.fast:
         from dfac_tpu.models.fast_infer import predict_scores_fast

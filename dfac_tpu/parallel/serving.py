@@ -257,15 +257,26 @@ def make_sharded_cnn2d_feature_scorer(
     apply_sigmoid: bool = True,
     compute_dtype: Any = jnp.bfloat16,
     axis_name: str = "data",
+    model: str = "cnn2d",
 ):
-    """jit'd sharded folded-CNN2D scorer over precomputed features:
+    """jit'd sharded folded-BN scorer over precomputed features:
     ``(folded, feats (B, F, T) stored or (B, T, F) when swap_tf=False) ->
-    (B,) scores`` — the ``dfac-predict --fast --data-parallel`` chain.
-    Per-sample math identical to the single-chip folded composition; B
-    must divide by the mesh's ``axis_name`` size."""
-    from dfac_tpu.models.fast_infer import cnn2d_fast_scores, cnn2d_fast_scores_tf
+    (B,) scores`` — the ``dfac-predict --fast --data-parallel`` chain, for
+    cnn2d (default) or cnn1d folded params. Per-sample math identical to
+    the single-chip folded composition; B must divide by the mesh's
+    ``axis_name`` size."""
+    from dfac_tpu.models.fast_infer import (
+        cnn1d_fast_scores,
+        cnn2d_fast_scores,
+        cnn2d_fast_scores_tf,
+    )
 
     def per_shard(folded, feats):
+        if model == "cnn1d":
+            return cnn1d_fast_scores(
+                folded, feats, swap_tf=swap_tf,
+                apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+            )
         score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
         return score(
             folded, feats, apply_sigmoid=apply_sigmoid,

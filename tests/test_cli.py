@@ -208,12 +208,6 @@ def test_predict_fast_matches_standard(corpus_dir, tmp_path):
 def test_predict_fast_rejects_unsupported_combos(corpus_dir):
     from dfac_tpu.cli import predict as predict_cli
 
-    with pytest.raises(SystemExit, match="cnn2d"):
-        predict_cli.main([
-            "--features", str(corpus_dir / "test/features.pkl"),
-            "--checkpoint", "nonexistent", "--model", "cnn1d",
-            "--out", "x.pkl", "--fast",
-        ])
     with pytest.raises(SystemExit, match="data-parallel"):
         predict_cli.main([
             "--features", str(corpus_dir / "test/features.pkl"),
@@ -221,3 +215,44 @@ def test_predict_fast_rejects_unsupported_combos(corpus_dir):
             "--out", "x.pkl", "--fast", "--data-parallel", "3",
             "--batch-size", "8",
         ])
+
+
+def test_predict_fast_cnn1d_matches_standard(corpus_dir, tmp_path):
+    """cnn1d --fast (folded BN1d chain) matches the model.apply path, both
+    single-device and sharded over the virtual mesh."""
+    import jax
+
+    from dfac_tpu.cli import predict as predict_cli
+    from dfac_tpu.cli import train as train_cli
+
+    ckdir = str(tmp_path / "ck1d")
+    train_cli.main([
+        "--train-features", str(corpus_dir / "train/features.pkl"),
+        "--train-labels", str(corpus_dir / "train/labels.pkl"),
+        "--dev-features", str(corpus_dir / "dev/features.pkl"),
+        "--dev-labels", str(corpus_dir / "dev/labels.pkl"),
+        "--model", "cnn1d", "--epochs", "1", "--batch-size", "8",
+        "--checkpoint-dir", ckdir, "--quiet",
+    ])
+    ckpt = os.path.join(ckdir, "cnn1d_best.ckpt")
+
+    outs = {}
+    cases = [("std", []), ("fast", ["--fast"])]
+    if len(jax.devices()) >= 4:
+        cases.append(("fast_dp", ["--fast", "--data-parallel", "4"]))
+    for tag, extra in cases:
+        path = str(tmp_path / f"pred1d_{tag}.pkl")
+        predict_cli.main([
+            "--features", str(corpus_dir / "test/features.pkl"),
+            "--checkpoint", ckpt, "--model", "cnn1d", "--out", path,
+            "--batch-size", "8", *extra,
+        ])
+        outs[tag] = pd.read_pickle(path)
+
+    np.testing.assert_allclose(
+        outs["fast"]["predictions"], outs["std"]["predictions"], atol=2e-5
+    )
+    if "fast_dp" in outs:
+        np.testing.assert_allclose(
+            outs["fast_dp"]["predictions"], outs["fast"]["predictions"], atol=1e-6
+        )
