@@ -88,13 +88,17 @@ def apply_utterance_norm(features: np.ndarray, scheme: str) -> np.ndarray:
     raise ValueError(f"unknown normalization scheme '{scheme}' (raw|cmn|cvmn)")
 
 
-def build_normalizer(features: np.ndarray, labels: np.ndarray, swap_tf: bool = True) -> FeatureNormalizer:
+def build_normalizer(features: np.ndarray, labels: np.ndarray | None, swap_tf: bool = True) -> FeatureNormalizer:
     """Fit on bonafide-only rows of a stored-orientation (N, F, T) corpus.
 
     Mirrors reference ``src/dataset_cae.py:120-141``: with ``swap_tf`` the
     stats are per feature dim (computed in (T, F) orientation).
+    ``labels=None`` means the corpus is already bonafide-only (the CAE
+    trainers accept unlabeled corpora on that contract) — fitting on
+    everything, instead of on ``features[None == 1]`` == an empty slice
+    whose mean/std are NaN.
     """
-    bona = features[np.asarray(labels) == 1]
+    bona = features if labels is None else features[np.asarray(labels) == 1]
     if swap_tf:
         bona = np.transpose(bona, (0, 2, 1))  # (N, T, F)
     return FeatureNormalizer().fit(bona)

@@ -167,10 +167,16 @@ def read_pickle_torchfree(path: str) -> Any:
 def _read_pickle(path: str) -> Any:
     try:
         return read_pickle_torchfree(path)
-    except Exception:
+    except Exception as torchfree_err:
         # Exotic pickle (e.g. new torch zipfile-format cells): fall back to a
-        # real torch unpickle if the library is present.
-        return pd.read_pickle(path)
+        # real torch unpickle if the library is present. Chain the original
+        # parse error — on a torch-free host the fallback dies with an
+        # unhelpful "No module named 'torch'" that would otherwise mask the
+        # real problem (e.g. a truncated file).
+        try:
+            return pd.read_pickle(path)
+        except Exception as fallback_err:
+            raise fallback_err from torchfree_err
 
 
 # ---------------------------------------------------------------------------
@@ -258,8 +264,14 @@ def align_labels(
             f"uttid mismatch between features and labels: {len(missing)} features missing labels, "
             f"{len(lab_map)} labels for {len(feat_uttids)} features"
         )
-    keep = [u for u in feat_uttids if u in lab_map]
-    return np.asarray([lab_map[u] for u in keep], dtype=np.int32)
+    if missing:
+        # even non-strict mode must return one label PER FEATURE ROW —
+        # silently dropping rows would misalign the caller's un-filtered
+        # feature tensor. Non-strict only tolerates EXTRA labels.
+        raise ValueError(
+            f"{len(missing)} feature uttids have no label (e.g. {missing[0]!r})"
+        )
+    return np.asarray([lab_map[u] for u in feat_uttids], dtype=np.int32)
 
 
 def verify_uttid_alignment(features_path: str, labels_path: str) -> None:

@@ -428,6 +428,40 @@ class CAETrainer:
         )
         return float(scores.mean()) if len(scores) else float("nan")
 
+    def _make_resident_validator(self, bona_dev, mean, std):
+        """One-dispatch bonafide-dev mean reconstruction MSE over a
+        device-resident dev split. ``cae_mse_scores`` re-uploads the dev
+        features every epoch — the same per-epoch host->device cost the
+        resident epoch scan eliminates for training; here the split is
+        uploaded once and each validation is a single dispatch."""
+        bs = self.cfg.eval_batch_size or self.cfg.batch_size
+        n = len(bona_dev)
+        if n == 0:
+            return lambda variables: float("nan")
+        feats = jax.device_put(jnp.asarray(bona_dev.features))
+        n_b = -(-n // bs)
+        idx = np.full((n_b * bs,), -1, np.int32)
+        idx[:n] = np.arange(n)
+        w = np.zeros((n_b * bs,), np.float32)
+        w[:n] = 1.0
+        idx_mat = jnp.asarray(idx.reshape(n_b, bs))
+        w_mat = jnp.asarray(w.reshape(n_b, bs))
+        model = self.model
+
+        @jax.jit
+        def run(variables, mean, std):
+            def body(acc, xs):
+                ii, ww = xs
+                x = jnp.take(feats, jnp.maximum(ii, 0), axis=0)
+                xn = (jnp.transpose(x, (0, 2, 1)) - mean) / std
+                recon, _ = model.apply(variables, xn)
+                return acc + jnp.sum(reconstruction_mse(recon, xn) * ww), None
+
+            tot, _ = jax.lax.scan(body, jnp.zeros(()), (idx_mat, w_mat))
+            return tot
+
+        return lambda variables: float(run(variables, mean, std)) / n
+
     def fit(
         self,
         train_ds: ArrayDataset,
@@ -507,7 +541,9 @@ class CAETrainer:
                 "host/relay round trip per step). Drop --data-parallel or "
                 "--device-resident to silence this.", cfg.data_parallel,
             )
+        resident_validate = None
         if resident:
+            resident_validate = self._make_resident_validator(bona_dev, mean, std)
             feats_resident = jax.device_put(jnp.asarray(bona_train.features))
             epoch_scan = make_cae_epoch_scan(
                 self.model, self.tx, mean, std,
@@ -562,7 +598,11 @@ class CAETrainer:
             count_f = float(count)
             train_loss = float(total) / count_f if count_f else None
 
-            val_loss = self._validate(bona_dev)
+            val_loss = (
+                resident_validate(self.variables())
+                if resident_validate is not None
+                else self._validate(bona_dev)
+            )
             elapsed = time.perf_counter() - t0
 
             is_best = best_val is None or val_loss < best_val

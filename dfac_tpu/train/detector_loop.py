@@ -424,7 +424,6 @@ class DetectorTrainer:
         sample_p = np.where(labels == 1, w1, w0).astype(np.float64)
         sample_p /= sample_p.sum()
         lengths = self._lengths(train_ds)
-        dev_lengths = self._lengths(dev_ds)
 
         init_key, _ = jax.random.split(jax.random.key(cfg.seed))
         state_key = train_key(cfg.seed)  # TPU-fast rbg chain for dropout/specaug

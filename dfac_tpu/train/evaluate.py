@@ -91,6 +91,57 @@ def predict_scores(
     return collect_masked_scores(score_batch, ds, batch_size)
 
 
+def eer_counts_masked(scores, labels, wmask):
+    # Exact EER on the weighted subset: padded rows get -inf scores and
+    # weight 0, so they occupy the bottom of the sort and contribute 0
+    # to both cumulative counts.
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked_scores = jnp.where(wmask > 0, scores, neg_inf)
+    order = jnp.argsort(masked_scores, stable=True)
+    s = masked_scores[order]
+    l = (labels * wmask)[order].astype(jnp.int32)
+    w = wmask[order].astype(jnp.int32)
+    n_bona = jnp.sum(l)
+    n_total = jnp.sum(w)
+    n_spoof = n_total - n_bona
+    pad = jnp.zeros((1,), jnp.int32)
+    cum_spoof = jnp.concatenate([pad, jnp.cumsum((1 - l) * w, dtype=jnp.int32)])
+    cum_bona = jnp.concatenate([pad, jnp.cumsum(l, dtype=jnp.int32)])
+    far_num = n_spoof - cum_spoof
+    frr_num = cum_bona
+    # exact |n_bona*far - n_spoof*frr| in emulated u64 (ops/wideint):
+    # int32 products wrap once ns*nb >= 2^31 (~92k balanced rows),
+    # which would corrupt the crossing argmin on large dev splits
+    from dfac_tpu.ops import wideint as wi
+
+    a_hi, a_lo = wi.mul_u32(wi.to_u32(n_bona), wi.to_u32(far_num))
+    b_hi, b_lo = wi.mul_u32(wi.to_u32(n_spoof), wi.to_u32(frr_num))
+    d_hi, d_lo = wi.abs_diff_u64(a_hi, a_lo, b_hi, b_lo)
+    # exclude sentinel positions that precede real data: positions
+    # 0..n_pad correspond to thresholds below every real score; the
+    # reference curve starts at index 0 == FAR 1 / FRR 0 which is
+    # position n_pad here. Masking earlier positions with the max u64
+    # keeps the argmin on the real curve.
+    n_pad = (jnp.asarray(w.shape[0], jnp.int32) - n_total)
+    pos = jnp.arange(w.shape[0] + 1)
+    u32max = jnp.uint32(0xFFFFFFFF)
+    d_hi = jnp.where(pos >= n_pad, d_hi, u32max)
+    d_lo = jnp.where(pos >= n_pad, d_lo, u32max)
+    eer_idx = wi.argmin_u64_first(d_hi, d_lo)
+    from dfac_tpu.ops.eer import THRESHOLD_EPSILON
+
+    threshold = jnp.where(
+        eer_idx == n_pad,
+        s[n_pad] - THRESHOLD_EPSILON,
+        jnp.where(
+            eer_idx == w.shape[0],
+            s[-1] + THRESHOLD_EPSILON,
+            s[jnp.maximum(eer_idx - 1, 0)],
+        ),
+    )
+    return far_num[eer_idx], frr_num[eer_idx], n_spoof, n_bona, threshold
+
+
 def make_resident_evaluator(
     model: Any,
     swap_tf: bool = True,
@@ -100,14 +151,13 @@ def make_resident_evaluator(
     """Whole-split evaluation as ONE device program over a resident corpus.
 
     ``lax.scan`` over batch indices -> logits, weighted loss sum, and the
-    exact EER crossing counts (:func:`dfac_tpu.ops.eer.eer_counts_jax`) all
-    inside a single jit — one dispatch and a few scalars fetched per epoch,
+    exact EER crossing counts (:func:`eer_counts_masked`) all inside a
+    single jit — one dispatch and a few scalars fetched per epoch,
     instead of re-transferring the dev features every evaluation.
 
     The in-jit crossing search uses exact emulated-u64 products
     (``ops/wideint.py``), bit-exact at any dev-split size below 2^31 rows.
     """
-    from dfac_tpu.ops.eer import eer_counts_jax
 
     @jax.jit
     def evaluate(variables, feats_all, labels_all, idx_mat, w_mat):
@@ -130,47 +180,6 @@ def make_resident_evaluator(
         flat_idx = idx_mat.reshape(-1)
         flat_labels = jnp.take(labels_all, jnp.maximum(flat_idx, 0), axis=0)
         return loss_sum, flat_scores, eer_counts_masked(flat_scores, flat_labels, flat_w)
-
-    def eer_counts_masked(scores, labels, wmask):
-        # Exact EER on the weighted subset: padded rows get -inf scores and
-        # weight 0, so they occupy the bottom of the sort and contribute 0
-        # to both cumulative counts.
-        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-        masked_scores = jnp.where(wmask > 0, scores, neg_inf)
-        order = jnp.argsort(masked_scores, stable=True)
-        s = masked_scores[order]
-        l = (labels * wmask)[order].astype(jnp.int32)
-        w = wmask[order].astype(jnp.int32)
-        n_bona = jnp.sum(l)
-        n_total = jnp.sum(w)
-        n_spoof = n_total - n_bona
-        pad = jnp.zeros((1,), jnp.int32)
-        cum_spoof = jnp.concatenate([pad, jnp.cumsum((1 - l) * w, dtype=jnp.int32)])
-        cum_bona = jnp.concatenate([pad, jnp.cumsum(l, dtype=jnp.int32)])
-        far_num = n_spoof - cum_spoof
-        frr_num = cum_bona
-        diff = jnp.abs(n_bona * far_num - n_spoof * frr_num)
-        # exclude sentinel positions that precede real data: positions
-        # 0..n_pad correspond to thresholds below every real score; the
-        # reference curve starts at index 0 == FAR 1 / FRR 0 which is
-        # position n_pad here. Masking earlier positions with +inf diff
-        # keeps the argmin on the real curve.
-        n_pad = (jnp.asarray(w.shape[0], jnp.int32) - n_total)
-        pos = jnp.arange(w.shape[0] + 1)
-        diff = jnp.where(pos >= n_pad, diff, jnp.iinfo(jnp.int32).max)
-        eer_idx = jnp.argmin(diff)
-        from dfac_tpu.ops.eer import THRESHOLD_EPSILON
-
-        threshold = jnp.where(
-            eer_idx == n_pad,
-            s[n_pad] - THRESHOLD_EPSILON,
-            jnp.where(
-                eer_idx == w.shape[0],
-                s[-1] + THRESHOLD_EPSILON,
-                s[jnp.maximum(eer_idx - 1, 0)],
-            ),
-        )
-        return far_num[eer_idx], frr_num[eer_idx], n_spoof, n_bona, threshold
 
     return evaluate
 

@@ -368,7 +368,7 @@ class Trainer:
 
         cfg = self.cfg
         bs = cfg.eval_batch_size or cfg.batch_size
-        if getattr(self, "_dev_resident_key", None) != id(dev_ds):
+        if getattr(self, "_dev_resident_ds", None) is not dev_ds:
             self._dev_feats = jax.device_put(jnp.asarray(dev_ds.features))
             self._dev_labels = jax.device_put(jnp.asarray(dev_ds.labels.astype(np.float32)))
             n = len(dev_ds)
@@ -382,7 +382,10 @@ class Trainer:
             self._dev_eval = make_resident_evaluator(
                 self.model, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing
             )
-            self._dev_resident_key = id(dev_ds)
+            # hold the reference: CPython reuses id() after GC, so a key
+            # of id(ds) alone can silently alias a NEW dataset to the OLD
+            # device arrays
+            self._dev_resident_ds = dev_ds
 
         loss_sum, _scores, counts = self._dev_eval(
             self.variables(), self._dev_feats, self._dev_labels, self._dev_idx, self._dev_w
@@ -402,12 +405,18 @@ class Trainer:
         }
 
     def _resident_arrays(self, ds: ArrayDataset):
-        if getattr(self, "_resident_key", None) != id(ds):
+        if getattr(self, "_resident_ds", None) is not ds:
             self._resident_feats = jax.device_put(jnp.asarray(ds.features))
             self._resident_labels = jax.device_put(
                 jnp.asarray((ds.labels if ds.labels is not None else np.zeros(len(ds))).astype(np.float32))
             )
-            self._resident_key = id(ds)
+            # hold the reference (id() can be reused after GC) and drop any
+            # epoch-scan program built for a different corpus length — a
+            # stale scan would draw permutations over the OLD n_examples
+            # and jnp.take would silently clamp out-of-range rows
+            self._resident_ds = ds
+            if getattr(self, "_epoch_scan_n", None) != len(ds):
+                self._epoch_scan = None
             if self._indexed_step is None:
                 self._indexed_step = make_indexed_train_step(
                     self.model, self.tx, self.cfg.swap_tf, self.cfg.label_smoothing, self.augment_fn
@@ -453,8 +462,6 @@ class Trainer:
                 )
                 self._warned_live_ui = True
             feats_all, labels_all = self._resident_arrays(ds)
-            order = np.arange(len(ds))
-            np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
 
             if not live_ui:
                 # whole epoch as one lax.scan program: a single dispatch
@@ -465,6 +472,7 @@ class Trainer:
                         self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
                         self.augment_fn, n_examples=len(ds), batch_size=cfg.batch_size,
                     )
+                    self._epoch_scan_n = len(ds)
                 self.state, total_loss, total_count = self._epoch_scan(
                     self.state, feats_all, labels_all,
                     np.int64(cfg.seed * 100003 + epoch),
@@ -472,6 +480,8 @@ class Trainer:
             else:
                 # true-size tail batch (one extra compiled shape) — padded
                 # rows must not enter BatchNorm statistics
+                order = np.arange(len(ds))
+                np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
                 for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
                     idx = order[start : start + cfg.batch_size]
                     self.state, loss_sum, count = self._indexed_step(
@@ -668,7 +678,10 @@ class Trainer:
 
         self.visualizer.on_training_end(self.history)
         if last_path:
-            last_epoch = self.history[-1].epoch if self.history else 0
+            # a resumed run with zero epochs left must not clobber the
+            # restored epoch counter with 0 (the next resume would retrain
+            # the full schedule on top of the trained weights)
+            last_epoch = self.history[-1].epoch if self.history else start_epoch - 1
             self._save(
                 last_path, last_epoch, config_snapshot,
                 trainer_state={

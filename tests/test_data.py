@@ -219,3 +219,15 @@ def test_create_datasets_trio(synthetic_corpus):
         synthetic_corpus["features_path"], synthetic_corpus["labels_path"],
     )
     assert no_test is None
+
+
+def test_build_normalizer_unlabeled_corpus(rng):
+    """labels=None means bonafide-only by contract (the CAE trainers accept
+    unlabeled corpora) — stats must be finite, fit on every row."""
+    from dfac_tpu.data.normalizer import build_normalizer
+
+    feats = rng.normal(size=(6, 8, 10)).astype(np.float32)
+    norm = build_normalizer(feats, None)
+    assert np.isfinite(norm.mean).all() and np.isfinite(norm.std).all()
+    ref = build_normalizer(feats, np.ones(6, np.int32))
+    np.testing.assert_allclose(norm.mean, ref.mean)

@@ -164,3 +164,35 @@ def test_wideint_u64_primitives(rng):
     v_hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
     v_lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     assert int(wi.argmin_u64_first(v_hi, v_lo)) == 4
+
+
+def test_eer_counts_masked_u64_exact_large_split():
+    """The resident evaluator's masked crossing search must stay exact
+    when ns*nb >= 2^31 (int32 products would wrap): 100k-row split checked
+    against the host float64 reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfac_tpu.ops.eer import calculate_eer
+    from dfac_tpu.train.evaluate import eer_counts_masked
+
+    rng = np.random.default_rng(11)
+    n = 100_000
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    # overlapping score distributions -> EER well inside (0, 0.5)
+    scores = (rng.normal(size=n) + labels * 1.2).astype(np.float32)
+    pad = 128
+    w = np.concatenate([np.ones(n), np.zeros(pad)]).astype(np.float32)
+    s = np.concatenate([scores, rng.normal(size=pad).astype(np.float32)])
+    l = np.concatenate([labels, np.ones(pad, np.float32)])
+
+    far, frr, ns, nb, thr = jax.tree.map(
+        np.asarray,
+        eer_counts_masked(jnp.asarray(s), jnp.asarray(l), jnp.asarray(w)),
+    )
+    assert int(ns) * int(nb) >= 2**31, "split too small to exercise the overflow"
+    got = (float(far) / int(ns) + float(frr) / int(nb)) / 2.0
+
+    ref_eer, ref_thr = calculate_eer(scores, labels)
+    np.testing.assert_allclose(got, ref_eer, atol=1e-12)
+    np.testing.assert_allclose(float(thr), ref_thr, rtol=1e-6)

@@ -129,3 +129,16 @@ def test_load_dataset_populates_lengths_for_variable_corpus(tmp_path):
     pd.DataFrame({"uttid": ["a", "b", "c"], "features": fixed}).to_pickle(tmp_path / "f2.pkl")
     ds2 = load_dataset(str(tmp_path / "f2.pkl"))
     assert ds2.lengths is None
+
+
+def test_align_labels_nonstrict_rejects_missing():
+    """Non-strict alignment tolerates EXTRA labels but must still refuse
+    features without labels — silently dropping rows would misalign the
+    caller's un-filtered feature tensor."""
+    from dfac_tpu.io.pickle_io import align_labels
+
+    labels = np.asarray([1, 0, 1])
+    out = align_labels(["a", "b"], ["a", "b", "c"], labels, strict=False)
+    np.testing.assert_array_equal(out, [1, 0])
+    with pytest.raises(ValueError, match="no label"):
+        align_labels(["a", "x"], ["a", "b", "c"], labels, strict=False)
