@@ -167,14 +167,22 @@ def lfcc_features_batch(
             return gemm_lfcc_features(chunk, cfg)
         return lfcc_features(chunk, cfg, use_pallas=(method == "fft-pallas"))
 
-    try:
+    if method != "fft" and len(waveforms):
+        # Probe Pallas availability on the FIRST batch only: falling back
+        # for any mid-corpus exception would silently restart the whole
+        # corpus on the slower fft path and mask real errors (OOM on batch
+        # k, a corrupt waveform row, a kernel bug).
+        try:
+            first = np.asarray(one_chunk(jnp.asarray(waveforms[:batch_size])))
+        except Exception:
+            # Pallas unavailable (e.g. CPU backend): XLA composition fallback.
+            return lfcc_features_batch(waveforms, cfg, batch_size, method="fft")
+        out = [first]
+        start = batch_size
+    else:
         out = []
-        for s in range(0, len(waveforms), batch_size):
-            chunk = jnp.asarray(waveforms[s : s + batch_size])
-            out.append(np.asarray(one_chunk(chunk)))
-        return np.concatenate(out) if out else np.zeros((0, cfg.feature_dim, 0), np.float32)
-    except Exception:
-        if method == "fft":
-            raise
-        # Pallas unavailable (e.g. CPU backend): XLA composition fallback.
-        return lfcc_features_batch(waveforms, cfg, batch_size, method="fft")
+        start = 0
+    for s in range(start, len(waveforms), batch_size):
+        chunk = jnp.asarray(waveforms[s : s + batch_size])
+        out.append(np.asarray(one_chunk(chunk)))
+    return np.concatenate(out) if out else np.zeros((0, cfg.feature_dim, 0), np.float32)

@@ -31,18 +31,20 @@ from flax import linen as nn
 Dtype = Any
 
 
-def kaiming_uniform_init(a: float = math.sqrt(5.0)):
+def kaiming_uniform_init(a: float = math.sqrt(5.0), fan_in: int | None = None):
     """torch's default weight init for Conv*/Linear.
 
     ``U(-b, b)`` with ``b = gain * sqrt(3 / fan_in)``, ``gain =
-    sqrt(2 / (1 + a^2))``. For flax kernels fan_in is the product of all
-    dimensions except the last (output features).
-    """
+    sqrt(2 / (1 + a^2))``. For flax kernels fan_in defaults to the product
+    of all dimensions except the last (output features); pass ``fan_in``
+    explicitly where torch computes it differently (ConvTranspose* uses
+    weight dim 1 = OUT channels: ``_calculate_fan_in_and_fan_out`` on a
+    (in, out, kH, kW) tensor)."""
 
     def init(key, shape, dtype=jnp.float32):
-        fan_in = math.prod(int(s) for s in shape[:-1])
+        fan = fan_in if fan_in is not None else math.prod(int(s) for s in shape[:-1])
         gain = math.sqrt(2.0 / (1.0 + a * a))
-        bound = gain * math.sqrt(3.0 / fan_in)
+        bound = gain * math.sqrt(3.0 / fan)
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
     return init
@@ -220,15 +222,17 @@ class ConvTranspose2dTorch(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_features = x.shape[-1]
-        fan_in = in_features * 4  # kernel 2x2
+        # torch's _calculate_fan_in_and_fan_out reads dim 1 of the
+        # (in, out, kH, kW) ConvTranspose weight — fan_in = OUT*k*k, for
+        # both the kernel and the bias bound (NOT in*k*k as for Conv).
+        fan_in = self.features * 4  # kernel 2x2
         y = nn.ConvTranspose(
             features=self.features,
             kernel_size=(2, 2),
             strides=(2, 2),
             padding="VALID",
             use_bias=False,
-            kernel_init=kaiming_uniform_init(),
+            kernel_init=kaiming_uniform_init(fan_in=fan_in),
             dtype=self.dtype,
             precision=None if self.dtype is not None else jax.lax.Precision.HIGHEST,
             name="convt",

@@ -44,8 +44,11 @@ def _depthwise_avg_pool(h: jax.Array, window: tuple[int, int]) -> jax.Array:
     single bf16 round) but ~20% faster inside conv chains on TPU:
     reduce_window forces a layout change on C-minor activations, while a
     depthwise conv stays in XLA's convolution layout domain. Differentiable
-    (the VJP is the transposed depthwise conv — the same uniform-scatter
-    gradient as avg_pool).
+    in f32 only: the explicit f32 ``preferred_element_type`` (kept for the
+    serving chain's exactness) makes lax.conv's transpose rule reject the
+    mixed f32-cotangent/bf16-operand combination in bf16 — the training
+    path uses :func:`dfac_tpu.models.common.avg_pool` (no
+    preferred_element_type) for exactly that reason.
     """
     c = h.shape[-1]
     taps = jnp.full((*window, 1, c), 1.0 / (window[0] * window[1]), h.dtype)
@@ -166,27 +169,10 @@ def _ingest(feats_np, compute_dtype):
 
 def fold_cnn1d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
     """Fold BatchNorm1d stats into the CNN1D conv kernels/biases
-    (reference eval path ``src/model_cnn1d.py:37-46``); same algebra as
-    :func:`fold_cnn2d` with (K, CI, CO) kernels."""
-    p = variables["params"]
-    bs = variables["batch_stats"]
-    folded = {}
-    for i in range(1, num_blocks + 1):
-        k = jnp.asarray(p[f"conv{i}"]["conv"]["kernel"], jnp.float32)
-        b = jnp.asarray(p[f"conv{i}"]["conv"]["bias"], jnp.float32)
-        scale = jnp.asarray(p[f"bn{i}"]["scale"], jnp.float32)
-        shift = jnp.asarray(p[f"bn{i}"]["bias"], jnp.float32)
-        mean = jnp.asarray(bs[f"bn{i}"]["mean"], jnp.float32)
-        var = jnp.asarray(bs[f"bn{i}"]["var"], jnp.float32)
-        inv = scale * jax.lax.rsqrt(var + eps)
-        folded[f"w{i}"] = k * inv
-        folded[f"b{i}"] = (b - mean) * inv + shift
-    folded["w_cls"] = jnp.asarray(p["classifier"]["dense"]["kernel"], jnp.float32)
-    folded["b_cls"] = jnp.asarray(p["classifier"]["dense"]["bias"], jnp.float32)
-    return folded
-
-
-@functools.partial(jax.jit, static_argnames=("swap_tf", "apply_sigmoid", "compute_dtype"))
+    (reference eval path ``src/model_cnn1d.py:37-46``). The folding
+    algebra is rank-agnostic (the scale broadcasts on the kernel's last
+    axis), so this is :func:`fold_cnn2d` applied to (K, CI, CO) kernels."""
+    return fold_cnn2d(variables, num_blocks=num_blocks, eps=eps)
 def cnn1d_fast_scores(
     folded: dict,
     feats: jax.Array,

@@ -142,10 +142,14 @@ def make_block_epilogue(
         y0, scale, bias, bits, mean, r = res
         ct_out, ct_mean, ct_var = cts
 
-        # Dropout backward: the kept elements' cotangent, rescaled.
+        # Dropout backward: the kept elements' cotangent, rescaled by the
+        # SAME dtype-rounded constant the forward applied — bf16(keep_inv)
+        # != f32(keep_inv), and using the unrounded float here would make
+        # the VJP deviate ~2^-9 relative from true AD on every kept element.
         d = ct_out.astype(jnp.float32)
         if drop_thresh > 0:
-            d = jnp.where(bits >= drop_thresh, d * keep_inv, 0.0)
+            inv_fwd = jnp.asarray(keep_inv, ct_out.dtype).astype(jnp.float32)
+            d = jnp.where(bits >= drop_thresh, d * inv_fwd, 0.0)
         # Pool backward: each input row receives half its output row's
         # cotangent; the dropped odd row (floor pooling) receives zero.
         if pool:

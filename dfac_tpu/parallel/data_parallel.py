@@ -39,12 +39,16 @@ def make_shard_map_train_step(
 
     def per_shard(state, feats, labels, weights):
         next_key, aug_key, drop_key = jax.random.split(state.key, 3)
+        # Same key on every shard would correlate masks; fold in the shard
+        # index so each shard draws independently (the reference draws per
+        # DataLoader batch; per-shard draws match its per-batch granularity
+        # at global-batch = shard batches). Applies to BOTH the augment and
+        # the dropout chains — a replicated drop_key would zero identical
+        # activation positions on every shard (detector_loop.py:159 and
+        # cae_loop.py's DP steps fold the same way).
+        drop_key = jax.random.fold_in(drop_key, jax.lax.axis_index(axis_name))
         x = jnp.transpose(feats, (0, 2, 1)) if swap_tf else feats
         if augment_fn is not None:
-            # Same key on every shard would correlate masks; fold in the
-            # shard index so each shard draws independently (the reference
-            # draws per DataLoader batch; per-shard draws match its
-            # per-batch granularity at global-batch = shard batches).
             aug_key = jax.random.fold_in(aug_key, jax.lax.axis_index(axis_name))
             x = augment_fn(aug_key, x)
 

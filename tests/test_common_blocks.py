@@ -151,3 +151,25 @@ def test_train_key_rejects_unknown_impl(monkeypatch):
         train_key(0)
     monkeypatch.setenv("DFAC_TPU_PRNG", "threefry")  # alias works
     train_key(0)
+
+
+def test_convtranspose_init_matches_torch_fan():
+    """torch computes ConvTranspose fan_in from weight dim 1 (= OUT
+    channels): bounds must be 1/sqrt(out*k*k), not 1/sqrt(in*k*k)."""
+    torch = pytest.importorskip("torch")
+
+    from dfac_tpu.models.common import ConvTranspose2dTorch
+
+    in_c, out_c = 256, 128
+    m = ConvTranspose2dTorch(features=out_c)
+    variables = m.init(jax.random.key(0), jnp.zeros((1, 4, 4, in_c)))
+    k = np.asarray(variables["params"]["convt"]["kernel"])
+    b = np.asarray(variables["params"]["bias"])
+    expect_bound = 1.0 / np.sqrt(out_c * 4)
+
+    ref = torch.nn.ConvTranspose2d(in_c, out_c, 2, stride=2)
+    ref_bound = float(ref.weight.abs().max() / 0.999)  # sample max ~ bound
+    assert abs(np.abs(k).max() - ref_bound) < 0.2 * expect_bound
+    assert np.abs(k).max() <= expect_bound * 1.0001
+    assert np.abs(k).max() > 0.95 * expect_bound  # 262k samples hug the bound
+    assert np.abs(b).max() <= expect_bound * 1.0001

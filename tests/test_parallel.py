@@ -443,3 +443,43 @@ def test_sharded_hybrid_scorer_matches_single_device(rng, eight_devices):
     mse_ref = cae_fast_mse(folded_cae, feats, mean, std, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(sup_sh), np.asarray(sup_ref), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(mse_sh), np.asarray(mse_ref), rtol=2e-5, atol=1e-6)
+
+
+def test_dp_dropout_masks_differ_across_shards(eight_devices):
+    """The DP train step folds the shard index into the dropout key; a
+    replicated key would zero identical activation positions on every
+    shard (correlated regularization). Checks the mechanism: per-shard
+    fold_in of axis_index must yield distinct mask draws."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    key = jax.random.key(7)
+
+    def per_shard(_):
+        k = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return jax.random.bits(k, (1, 64), jnp.uint8)
+
+    bits = shard_map(
+        per_shard, mesh=mesh, in_specs=(P("data"),), out_specs=P("data")
+    )(jnp.zeros((8,)))
+    assert len({bytes(np.asarray(b).tobytes()) for b in np.asarray(bits)}) == 8
+
+    # and the production step itself runs with dropout on
+    from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
+
+    model = build_model("cnn2d", in_features=F_, base_channels=8,
+                        axis_name="data", dropout=0.5)
+    x0 = jnp.zeros((1, T_, F_))
+    variables = model.init({"params": jax.random.key(0)}, x0, train=False)
+    tx = build_optimizer("cnn2d", 1e-3)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]), key=jax.random.key(1),
+    )
+    step = make_shard_map_train_step(model, tx, mesh, True, 0.0)
+    rngl = np.random.default_rng(3)
+    feats = jnp.asarray(rngl.normal(size=(16, F_, T_)).astype(np.float32))
+    labels = jnp.asarray((np.arange(16) % 2).astype(np.float32))
+    new_state, loss, count = step(state, feats, labels, jnp.ones((16,), jnp.float32))
+    assert np.isfinite(float(loss))
