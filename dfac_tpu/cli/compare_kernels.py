@@ -81,7 +81,9 @@ def main(argv=None):
         os.makedirs(args.checkpoint_dir, exist_ok=True)
         ckpt_lib.save_checkpoint(
             os.path.join(args.checkpoint_dir, f"{label}.ckpt"),
-            trainer.variables(),
+            # best-epoch weights — the config records best_dev_eer, so the
+            # saved model must be the one that achieved it
+            trainer.best_variables(),
             epoch=len(result["history"]),
             config={
                 "model": "cnn1d_variant", "kernel_sizes": list(kernels),

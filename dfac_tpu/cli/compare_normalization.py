@@ -69,8 +69,10 @@ def main(argv=None):
         row = {"scheme": scheme, "dev_eer": result["best_eer"]}
         if test_ds is not None:
             ts = dataclasses.replace(test_ds, features=apply_utterance_norm(test_ds.features, scheme))
+            # best-epoch weights (the model that achieved dev_eer), not
+            # the final epoch's — early stopping trains past the best
             metrics, _, _ = evaluate_classifier(
-                trainer.model, trainer.variables(), ts,
+                trainer.model, trainer.best_variables(), ts,
                 batch_size=args.batch_size, swap_tf=args.swap_tf,
             )
             row["test_eer"] = metrics["eer"]

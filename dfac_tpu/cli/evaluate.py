@@ -78,9 +78,14 @@ def main(argv=None):
     from dfac_tpu.train.checkpoint import load_model_variables
     from dfac_tpu.train.evaluate import evaluate_classifier
 
-    # strict uttid verification happens inside load_dataset's align step
-    ds = load_dataset(args.features, args.labels)
-    model = build_model(args.model, in_features=args.in_features, dropout=args.dropout)
+    # strict uttid verification happens inside load_dataset's align step;
+    # --no-check-uttid relaxes it to tolerate EXTRA labels (features
+    # without labels always raise — see io/pickle_io.py align_labels)
+    ds = load_dataset(args.features, args.labels, strict=args.check_uttid)
+    model = build_model(
+        args.model, in_features=args.in_features, dropout=args.dropout,
+        hidden_dim=args.hidden_dim,
+    )
     variables = load_model_variables(args.checkpoint, model_name=args.model)
     metrics, _, _ = evaluate_classifier(
         model, variables, ds,

@@ -75,6 +75,8 @@ def main(argv=None):
         from dfac_tpu.parallel.mesh import make_mesh
         from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
 
+        from dfac_tpu.models.fast_infer import _ingest
+
         mesh = make_mesh(n_data=args.data_parallel)
         scorer = make_sharded_hybrid_scorer(mesh)
         folded_sup, folded_cae = fold_cnn2d(cnn_vars), fold_cae(cae_vars)
@@ -82,8 +84,11 @@ def main(argv=None):
         std = jnp.asarray(normalizer.std)
         sup_chunks, mse_chunks, masks = [], [], []
         for batch in batch_iterator(ds, args.batch_size):
+            # host bf16 cast halves the upload (the chain's first op is the
+            # same cast on device — bit-identical; see fast_infer._ingest)
             s, m = scorer(
-                folded_sup, folded_cae, mean, std, jnp.asarray(batch.features)
+                folded_sup, folded_cae, mean, std,
+                _ingest(batch.features, jnp.bfloat16),
             )
             sup_chunks.append(s)
             mse_chunks.append(m)

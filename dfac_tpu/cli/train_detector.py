@@ -94,16 +94,18 @@ def main(argv=None):
         result = fit(train_ds, dev_ds, ckpt_path=args.ckpt_path)
         print(f"Training done. Best dev EER: {result['best_eer']:.6f}")
         model = trainer.model
+        test_ds = load_dataset(test_feat, test_lab if has_test_labels else None)
     else:
-        test_ds_tmp = load_dataset(test_feat)
-        in_ch = test_ds_tmp.features.shape[1]
-        model = build_model("detector", in_channels=in_ch, hidden=args.hidden, dropout=args.dropout)
+        # load the test split ONCE: labels merge here, in_channels read here
+        test_ds = load_dataset(test_feat, test_lab if has_test_labels else None)
+        model = build_model(
+            "detector", in_channels=test_ds.features.shape[1],
+            hidden=args.hidden, dropout=args.dropout,
+        )
 
     if not os.path.exists(args.ckpt_path):
         raise FileNotFoundError(f"Checkpoint not found: {args.ckpt_path}")
     variables = load_model_variables(args.ckpt_path, model_name="detector")
-
-    test_ds = load_dataset(test_feat, test_lab if has_test_labels else None)
     import numpy as np
 
     lengths = test_ds.lengths if test_ds.lengths is not None else np.full(

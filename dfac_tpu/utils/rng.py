@@ -39,6 +39,7 @@ def train_key(seed: int, impl: str | None = None) -> jax.Array:
     ``DFAC_TPU_PRNG`` environment variable — overrides the generator
     (e.g. ``'threefry2x32'`` for cross-environment bit reproducibility).
     """
+    explicit = impl is not None or "DFAC_TPU_PRNG" in os.environ
     impl = impl or os.environ.get("DFAC_TPU_PRNG") or "rbg"
     impl = {"threefry": "threefry2x32"}.get(impl, impl)
     known = {"rbg", "unsafe_rbg", "threefry2x32"}
@@ -52,5 +53,10 @@ def train_key(seed: int, impl: str | None = None) -> jax.Array:
     try:
         return jax.random.key(seed, impl=impl)
     except TypeError:
+        if explicit:
+            # an explicitly requested generator must not silently
+            # downgrade to the backend default (the run would not be
+            # bit-reproducible while the user believes it is)
+            raise
         # old jax without the impl kwarg: backend-default generator
         return jax.random.key(seed)
