@@ -67,6 +67,10 @@ def parse_args(argv=None):
                    help="checkpoint layout: single-file pickle or orbax directory")
     p.add_argument("--device-resident", action="store_true",
                    help="upload the training corpus to HBM once; gather batches on device")
+    p.add_argument("--resident-chunk-batches", type=int, default=0, metavar="G",
+                   help="stream the epoch in chunks of G batches (one dispatch per "
+                        "chunk, upload overlapped) — for corpora larger than HBM; "
+                        "same batches/PRNG as the default per-batch loop")
     p.add_argument("--fused-fit", action="store_true",
                    help="run the ENTIRE training loop (epochs+eval+plateau+early-stop) "
                         "as one compiled program (implies --device-resident; no live UI)")
@@ -144,6 +148,7 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else None,
         data_parallel=args.data_parallel,
         device_resident=args.device_resident or args.fused_fit,
+        resident_chunk_batches=args.resident_chunk_batches,
         checkpoint_format=args.checkpoint_format,
     )
 
@@ -163,42 +168,31 @@ def main(argv=None):
         if args.fused_fit:
             result = trainer.fit_fused(train_ds, dev_ds, resume_from=args.resume)
             if checkpoint_root:
-                from dfac_tpu.train import checkpoint as ckpt_lib
-
                 os.makedirs(checkpoint_root, exist_ok=True)
                 config = build_config_dict(args)
-                config["_trainer_state"] = {
+                trainer_state = {
                     "best_eer": result["best_eer"],
                     "best_train_loss": result["best_train_loss"],
                     "best_dev_loss": result["best_dev_loss"],
                     "epochs_no_improve": result["epochs_no_improve"],
                     "lr": trainer._lr,
                 }
-                sched_state = trainer.scheduler.state_dict() if trainer.scheduler else None
-                save = (
-                    ckpt_lib.save_checkpoint_orbax
-                    if trainer.cfg.checkpoint_format == "orbax"
-                    else ckpt_lib.save_checkpoint
-                )
                 new_best = any(m.is_best for m in result["history"])
                 if new_best:  # never clobber a resumed run's better best ckpt
-                    save(
+                    trainer.save_checkpoint_file(
                         os.path.join(checkpoint_root, f"{args.model}_best.ckpt"),
-                        trainer.best_variables(),
-                        opt_state=trainer.state.opt_state,
                         epoch=result["best_epoch"],
-                        config=config, scheduler_state=sched_state,
+                        variables=trainer.best_variables(),
+                        config_snapshot=config, trainer_state=trainer_state,
                     )
                 if result["history"]:
                     # a resume that had nothing left to train (start epoch
                     # past --epochs) must not rewrite the resume point with
                     # an epoch-0 checkpoint
-                    save(
+                    trainer.save_checkpoint_file(
                         os.path.join(checkpoint_root, f"{args.model}_last.ckpt"),
-                        trainer.variables(),
-                        opt_state=trainer.state.opt_state,
                         epoch=result["history"][-1].epoch,
-                        config=config, scheduler_state=sched_state,
+                        config_snapshot=config, trainer_state=trainer_state,
                     )
         else:
             result = trainer.fit(

@@ -52,7 +52,9 @@ class ArrayDataset:
         )
 
 
-def load_dataset(features_path: str, labels_path: str | None = None) -> ArrayDataset:
+def load_dataset(
+    features_path: str, labels_path: str | None = None, strict: bool = True
+) -> ArrayDataset:
     """Load features (+ optionally labels inner-merged on uttid, strict).
 
     ``features_path`` may be a reference-contract ``features.pkl`` or a
@@ -71,7 +73,7 @@ def load_dataset(features_path: str, labels_path: str | None = None) -> ArrayDat
     labels = None
     if labels_path is not None:
         luttids, raw = load_labels(labels_path)
-        labels = align_labels(uttids, luttids, raw)
+        labels = align_labels(uttids, luttids, raw, strict=strict)
     return ArrayDataset(uttids=uttids, features=feats, labels=labels, lengths=lengths)
 
 
@@ -115,7 +117,22 @@ def batch_iterator(
         idx = order[start : start + batch_size]
         if len(idx) < batch_size and drop_last:
             return
-        feats = ds.features[idx]
+        if not shuffle:
+            # basic slice: zero-copy view (memmap-backed corpora stay on
+            # disk until the ingest cast pulls the pages, in parallel)
+            feats = ds.features[start : start + len(idx)]
+        elif (
+            isinstance(ds.features, np.ndarray)
+            and ds.features.dtype == np.float32
+            and ds.features.flags.c_contiguous
+        ):
+            # shuffled row gather fanned over the native thread pool —
+            # page-in of memmap-backed training corpora parallelizes
+            from dfac_tpu.io.fastcast import gather_f32
+
+            feats = gather_f32(ds.features, idx)
+        else:
+            feats = ds.features[idx]
         labs = labels[idx].astype(np.float32)
         w = np.ones(len(idx), np.float32)
         if not pad_tail:

@@ -1,0 +1,130 @@
+// Native host-side ingest kernels for the serving/eval pipelines.
+//
+// The disk -> scores path (reference analogue: torch DataLoader worker
+// processes feeding CUDA, /root/reference/src/predict.py:60-111) spends
+// its host time in one place on this framework: casting float32 feature
+// rows to bfloat16 before the (async) device upload — numpy's
+// ml_dtypes astype is single-threaded. This file provides the same cast
+// round-to-nearest-even, bit-exact with ml_dtypes/Eigen, fanned over a
+// thread pool, reading straight from the memory-mapped corpus (page
+// faults then also parallelize across threads, overlapping disk read
+// with conversion).
+//
+// Built lazily by dfac_tpu/io/fastcast.py with
+//   g++ -O3 -march=native -shared -fPIC -pthread
+// and loaded through ctypes; every entry point is plain C ABI.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// float32 -> bfloat16, round-to-nearest-even, NaN quieted.
+// Matches ml_dtypes (Eigen float_to_bfloat16_rtne): verified bit-exact
+// by tests/test_fastcast.py over specials and random sweeps.
+inline uint16_t f32_to_bf16(uint32_t bits) {
+  if ((bits & 0x7fffffffu) > 0x7f800000u) {  // NaN -> canonical quiet NaN
+    return static_cast<uint16_t>(((bits >> 16) & 0x8000u) | 0x7fc0u);
+  }
+  const uint32_t lsb = (bits >> 16) & 1u;
+  return static_cast<uint16_t>((bits + 0x7fffu + lsb) >> 16);
+}
+
+void cast_range(const float* src, uint16_t* dst, int64_t lo, int64_t hi) {
+  const uint32_t* s = reinterpret_cast<const uint32_t*>(src);
+  for (int64_t i = lo; i < hi; ++i) dst[i] = f32_to_bf16(s[i]);
+}
+
+void parallel_for(int64_t n, int threads,
+                  void (*body)(const float*, uint16_t*, int64_t, int64_t),
+                  const float* src, uint16_t* dst) {
+  if (threads <= 1 || n < (1 << 16)) {
+    body(src, dst, 0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  const int64_t chunk = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    pool.emplace_back(body, src, dst, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
+void gather_range(const float* src, const int64_t* idx, int64_t row_elems,
+                  uint16_t* dst, int64_t lo, int64_t hi) {
+  const uint32_t* s = reinterpret_cast<const uint32_t*>(src);
+  for (int64_t r = lo; r < hi; ++r) {
+    const uint32_t* row = s + idx[r] * row_elems;
+    uint16_t* out = dst + r * row_elems;
+    for (int64_t i = 0; i < row_elems; ++i) out[i] = f32_to_bf16(row[i]);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Contiguous cast: dst[i] = bf16(src[i]) for i in [0, n).
+void dfac_cast_f32_bf16(const float* src, uint16_t* dst, int64_t n,
+                        int threads) {
+  parallel_for(n, threads, cast_range, src, dst);
+}
+
+// Row gather + cast: dst[r] = bf16(src[idx[r]]) for r in [0, n_rows);
+// src rows are row_elems float32 each. Serves shuffled batch assembly
+// straight off the memory-mapped store without an f32 intermediate.
+void dfac_gather_cast_f32_bf16(const float* src, const int64_t* idx,
+                               int64_t n_rows, int64_t row_elems,
+                               uint16_t* dst, int threads) {
+  if (threads <= 1 || n_rows * row_elems < (1 << 16)) {
+    gather_range(src, idx, row_elems, dst, 0, n_rows);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  const int64_t chunk = (n_rows + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = lo + chunk < n_rows ? lo + chunk : n_rows;
+    if (lo >= hi) break;
+    pool.emplace_back(gather_range, src, idx, row_elems, dst, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Plain parallel memcpy of rows (f32 -> f32) for the non-bf16 paths:
+// parallelizes the page-fault/copy cost of pulling memmap rows.
+void dfac_gather_f32(const float* src, const int64_t* idx, int64_t n_rows,
+                     int64_t row_elems, float* dst, int threads) {
+  auto body = [=](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      std::memcpy(dst + r * row_elems, src + idx[r] * row_elems,
+                  sizeof(float) * row_elems);
+    }
+  };
+  if (threads <= 1 || n_rows <= 1) {
+    body(0, n_rows);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  const int64_t chunk = (n_rows + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = lo + chunk < n_rows ? lo + chunk : n_rows;
+    if (lo >= hi) break;
+    pool.emplace_back(body, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
+int dfac_native_abi_version(void) { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,196 @@
+"""ctypes loader for the native host-ingest kernels (``fastcast.cpp``).
+
+The serving ingest path casts float32 feature rows to bfloat16 on the
+host before the async device upload (``models/fast_infer._ingest`` —
+bit-identical to casting on device, half the bytes over the link). numpy's
+ml_dtypes astype is single-threaded; the native kernel fans the cast over
+a thread pool and reads straight from the memory-mapped corpus, so page
+faults (disk read) parallelize with conversion.
+
+The shared object is built lazily with g++ on first use and cached next
+to the source (or in ``$DFAC_TPU_NATIVE_CACHE`` / a temp dir when the
+package directory is read-only). Every caller falls back to the numpy
+path when no compiler is available — the native library is a throughput
+optimization, never a correctness dependency. Bit-exactness with
+ml_dtypes' round-to-nearest-even is test-enforced (tests/test_fastcast.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fastcast.cpp")
+_ABI = 1
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _cache_dirs():
+    env = os.environ.get("DFAC_TPU_NATIVE_CACHE")
+    if env:
+        yield env
+    yield os.path.dirname(_SRC)
+    yield os.path.join(tempfile.gettempdir(), f"dfac_tpu_native_py{sys.version_info[0]}")
+
+
+def _build(so_path: str) -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+        "-o", so_path, _SRC,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    return proc.returncode == 0 and os.path.exists(so_path)
+
+
+def _bind(lib) -> bool:
+    try:
+        if lib.dfac_native_abi_version() != _ABI:
+            return False
+        lib.dfac_cast_f32_bf16.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.dfac_gather_cast_f32_bf16.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.dfac_gather_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        return True
+    except AttributeError:
+        return False
+
+
+def load():
+    """Return the bound native library, building it on first use.
+
+    Returns None (and remembers the failure) when no compiler/cache dir
+    is usable — callers then take the numpy fallback.
+    """
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if os.environ.get("DFAC_TPU_NO_NATIVE"):
+            _lib_failed = True
+            return None
+        src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
+        for d in _cache_dirs():
+            so_path = os.path.join(d, "_dfac_fastcast.so")
+            try:
+                os.makedirs(d, exist_ok=True)
+            except OSError:
+                continue
+            fresh = (
+                os.path.exists(so_path)
+                and os.path.getmtime(so_path) >= src_mtime
+            )
+            if not fresh and not _build(so_path):
+                continue
+            try:
+                lib = ctypes.CDLL(so_path)
+            except OSError:
+                continue
+            if _bind(lib):
+                _lib = lib
+                return _lib
+        _lib_failed = True
+        return None
+
+
+def native_available() -> bool:
+    return load() is not None
+
+
+def default_threads() -> int:
+    env = os.environ.get("DFAC_TPU_INGEST_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(8, os.cpu_count() or 1))
+
+
+def cast_bf16(arr: np.ndarray, threads: int | None = None) -> np.ndarray:
+    """float32 array -> bfloat16 (ml_dtypes) array, multithreaded.
+
+    ``arr`` may be a memmap view; rows are pulled and converted inside the
+    worker threads. Non-f32 / non-contiguous inputs and builds without a
+    compiler fall back to numpy's (single-threaded, identical-bits) astype.
+    """
+    import ml_dtypes
+
+    lib = load()
+    a = np.asarray(arr)
+    if lib is None or a.dtype != np.float32 or not a.flags.c_contiguous:
+        return a.astype(ml_dtypes.bfloat16)
+    out = np.empty(a.shape, dtype=ml_dtypes.bfloat16)
+    lib.dfac_cast_f32_bf16(
+        a.ctypes.data, out.ctypes.data, a.size,
+        threads if threads is not None else default_threads(),
+    )
+    return out
+
+
+def gather_cast_bf16(
+    src: np.ndarray, idx: np.ndarray, threads: int | None = None
+) -> np.ndarray:
+    """``bf16(src[idx])`` without the float32 intermediate.
+
+    ``src`` is (N, ...) float32 (typically the memory-mapped corpus),
+    ``idx`` any int row indices. Falls back to fancy-index + astype.
+    """
+    import ml_dtypes
+
+    lib = load()
+    src = np.asarray(src) if not isinstance(src, np.ndarray) else src
+    if (
+        lib is None
+        or src.dtype != np.float32
+        or not src.flags.c_contiguous
+        or src.ndim < 1
+    ):
+        return np.asarray(src[np.asarray(idx)]).astype(ml_dtypes.bfloat16)
+    idx64 = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+    row_elems = int(np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else 1
+    out = np.empty((len(idx64),) + src.shape[1:], dtype=ml_dtypes.bfloat16)
+    lib.dfac_gather_cast_f32_bf16(
+        src.ctypes.data, idx64.ctypes.data, len(idx64), row_elems,
+        out.ctypes.data,
+        threads if threads is not None else default_threads(),
+    )
+    return out
+
+
+def gather_f32(
+    src: np.ndarray, idx: np.ndarray, threads: int | None = None
+) -> np.ndarray:
+    """``src[idx]`` as a parallel row copy (page faults spread over the
+    pool) — the non-bf16 ingest path's analogue of :func:`gather_cast_bf16`."""
+    lib = load()
+    if lib is None or src.dtype != np.float32 or not src.flags.c_contiguous:
+        return np.asarray(src[np.asarray(idx)], dtype=np.float32)
+    idx64 = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+    row_elems = int(np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else 1
+    out = np.empty((len(idx64),) + src.shape[1:], dtype=np.float32)
+    lib.dfac_gather_f32(
+        src.ctypes.data, idx64.ctypes.data, len(idx64), row_elems,
+        out.ctypes.data,
+        threads if threads is not None else default_threads(),
+    )
+    return out

@@ -142,11 +142,14 @@ def predict_scores_fast(
     folded = fold_cnn2d(variables)
     score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
     return collect_masked_scores(
-        lambda batch: score(
-            folded, _ingest(batch.features, compute_dtype),
+        lambda feats: score(
+            folded, feats,
             apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
         ),
         ds, batch_size,
+        # host stage (memmap pull + bf16 cast + async upload) runs in the
+        # prefetch thread, overlapping device scoring of the prior batch
+        prepare_batch=lambda b: _ingest(b.features, compute_dtype),
     )
 
 
@@ -161,9 +164,12 @@ def _ingest(feats_np, compute_dtype):
     scoring of batch k inside ``collect_masked_scores``'s dispatch queue.
     """
     if compute_dtype == jnp.bfloat16:
-        import ml_dtypes
+        from dfac_tpu.io.fastcast import cast_bf16
 
-        return jax.device_put(feats_np.astype(ml_dtypes.bfloat16))
+        # multithreaded native cast (bit-exact with ml_dtypes astype,
+        # numpy fallback inside) — the cast reads straight from the
+        # memmap view, so page faults parallelize too
+        return jax.device_put(cast_bf16(np.asarray(feats_np)))
     return jax.device_put(np.asarray(feats_np))
 
 
@@ -319,11 +325,12 @@ def predict_scores_fast_cnn1d(
 
     folded = fold_cnn1d(variables)
     return collect_masked_scores(
-        lambda batch: cnn1d_fast_scores(
-            folded, _ingest(batch.features, compute_dtype), swap_tf=swap_tf,
+        lambda feats: cnn1d_fast_scores(
+            folded, feats, swap_tf=swap_tf,
             apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
         ),
         ds, batch_size,
+        prepare_batch=lambda b: _ingest(b.features, compute_dtype),
     )
 
 
@@ -344,11 +351,12 @@ def cae_mse_scores_fast(
     mean = jnp.asarray(normalizer.mean)
     std = jnp.asarray(normalizer.std)
     return collect_masked_scores(
-        lambda batch: cae_fast_mse(
-            folded, jnp.asarray(batch.features), mean, std,
+        lambda feats: cae_fast_mse(
+            folded, feats, mean, std,
             swap_tf=swap_tf, compute_dtype=compute_dtype,
         ),
         ds, batch_size,
+        prepare_batch=lambda b: _ingest(b.features, compute_dtype),
     )
 
 

@@ -584,9 +584,14 @@ class CAETrainer:
                         if float(count):
                             batch_ctx.update_batch(BatchMetrics(i, float(total) / float(count), int(n)))
                 else:
+                    from dfac_tpu.io.prefetch import prefetched
+
+                    # host row gather overlaps device dispatch (one thread)
                     for i, batch in enumerate(
-                        batch_iterator(bona_train, cfg.batch_size, shuffle=True,
-                                       seed=cfg.seed * 100003 + epoch, pad_tail=False)
+                        prefetched(batch_iterator(
+                            bona_train, cfg.batch_size, shuffle=True,
+                            seed=cfg.seed * 100003 + epoch, pad_tail=False,
+                        ))
                     ):
                         self.state, loss_sum, n = train_step(
                             self.state, jnp.asarray(batch.features), jnp.asarray(batch.weights)

@@ -35,15 +35,36 @@ def _eval_step(model, variables, feats, labels, weights, swap_tf, apply_sigmoid,
     return scores, loss_sum
 
 
-def collect_masked_scores(score_batch: Callable, ds: ArrayDataset, batch_size: int) -> np.ndarray:
+def collect_masked_scores(
+    score_batch: Callable,
+    ds: ArrayDataset,
+    batch_size: int,
+    prepare_batch: Callable | None = None,
+    prefetch: int = 2,
+) -> np.ndarray:
     """Run ``score_batch(batch) -> (B,) device scores`` over every padded
     batch, keep results on device, then do ONE host fetch and drop the
     pad rows. The shared batching/tail-mask contract of every corpus
-    scorer (a host round trip per batch dominates on remote accelerators)."""
+    scorer (a host round trip per batch dominates on remote accelerators).
+
+    ``prepare_batch`` (optional) runs the host stage of ingest — memmap
+    row pull, bf16 cast — and its output replaces the batch as
+    ``score_batch``'s argument. It executes in a background thread
+    (``io.prefetch.prefetched``, depth ``prefetch``), so host assembly of
+    batch k+1 overlaps device scoring of batch k — the torch-DataLoader
+    worker overlap of the reference serving loop, one thread because the
+    heavy host stages release the GIL."""
+    from dfac_tpu.io.prefetch import prefetched
+
+    def produce():
+        for batch in batch_iterator(ds, batch_size):
+            prepared = prepare_batch(batch) if prepare_batch is not None else batch
+            yield prepared, batch.weights > 0
+
     chunks, masks = [], []
-    for batch in batch_iterator(ds, batch_size):
-        chunks.append(score_batch(batch))
-        masks.append(batch.weights > 0)
+    for prepared, mask in prefetched(produce(), depth=prefetch):
+        chunks.append(score_batch(prepared))
+        masks.append(mask)
     if not chunks:
         return np.zeros((0,), np.float32)
     flat = np.asarray(jnp.concatenate(chunks))

