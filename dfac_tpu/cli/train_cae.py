@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--fused-fit", action="store_true",
                    help="the WHOLE run (epochs + validation + best rule + "
                    "plateau + early stop) as one dispatched program")
+    p.add_argument("--resident-chunk-batches", type=int, default=0, metavar="G",
+                   help="stream the epoch in chunks of G batches (one dispatch per "
+                        "chunk, upload overlapped) — for corpora larger than HBM")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     p.add_argument("--no-rich", action="store_true")
@@ -67,6 +70,7 @@ def main(argv=None):
         base_channels=args.base_channels,
         seed=args.seed,
         device_resident=args.device_resident,
+        resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
     )
     visualizer = create_cae_visualizer("noop" if args.quiet else ("plain" if args.no_rich else "rich"))

@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--fused-fit", action="store_true",
                    help="the WHOLE run (epochs + dev EER + best rule + patience) "
                    "as one dispatched program")
+    p.add_argument("--resident-chunk-batches", type=int, default=0, metavar="G",
+                   help="stream the epoch in chunks of G batches (one dispatch per "
+                        "chunk, upload overlapped) — for corpora larger than HBM")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     return p.parse_args(argv)
@@ -73,6 +76,7 @@ def main(argv=None):
         ema=args.ema, ema_decay=args.ema_decay, patience=args.patience,
         seed=args.seed, compute_dtype="bfloat16" if args.bf16 else None,
         device_resident=args.device_resident,
+        resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
     )
 

@@ -59,10 +59,22 @@ class CAEConfig:
     eval_batch_size: int | None = None
     device_resident: bool = False  # corpus in HBM; epoch = one scan program
     data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
+    # stream the epoch in chunks of N batches (one dispatch per chunk,
+    # upload overlapped) — for bonafide corpora larger than HBM; 0 = off
+    resident_chunk_batches: int = 0
 
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
+        if self.resident_chunk_batches < 0:
+            raise ValueError("resident_chunk_batches must be >= 0")
+        if self.resident_chunk_batches and self.device_resident:
+            raise ValueError(
+                "resident_chunk_batches streams the corpus in chunks; it is "
+                "the larger-than-HBM alternative to device_resident — set one"
+            )
+        if self.resident_chunk_batches and self.data_parallel > 1:
+            raise ValueError("resident_chunk_batches is single-device (use data_parallel alone)")
 
 
 def make_cae_train_step(model, tx, mean, std):
@@ -208,6 +220,33 @@ def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int):
         return state_out, loss, count
 
     return epoch_scan
+
+
+def make_cae_chunk_scan(model, tx, mean, std):
+    """``lax.scan`` of the CAE train step over a chunk of pre-batched rows:
+    ``feats (g, B, F, T) -> state', loss_sum, count`` — the building block
+    of chunked streaming CAE training for bonafide corpora larger than HBM
+    (mirrors :func:`dfac_tpu.train.loop.make_chunk_scan`; same batches and
+    ``state.key`` chain as the per-batch host loop, floats up to XLA
+    reassociation)."""
+    step = make_cae_train_step(model, tx, mean, std)
+    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+
+    @jax.jit
+    def chunk_scan(state: TrainState, feats):
+        ones = jnp.ones((feats.shape[1],), jnp.float32)
+
+        def body(carry, f):
+            st, loss_acc, count_acc = carry
+            st, loss_sum, count = base(st, f, ones)
+            return (st, loss_acc + loss_sum, count_acc + count), None
+
+        (state_out, loss, count), _ = jax.lax.scan(
+            body, (state, jnp.zeros(()), jnp.zeros(())), feats
+        )
+        return state_out, loss, count
+
+    return chunk_scan
 
 
 def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev: int):
@@ -583,6 +622,53 @@ class CAETrainer:
                         count = count + n
                         if float(count):
                             batch_ctx.update_batch(BatchMetrics(i, float(total) / float(count), int(n)))
+                elif cfg.resident_chunk_batches > 0:
+                    # chunked streaming (corpora larger than HBM): G-batch
+                    # scan dispatches, chunk upload overlapped; same
+                    # batches/PRNG chain as the host loop below
+                    from dfac_tpu.io.fastcast import gather_f32
+                    from dfac_tpu.io.prefetch import prefetched
+
+                    if getattr(self, "_chunk_scan", None) is None:
+                        self._chunk_scan = make_cae_chunk_scan(
+                            self.model, self.tx, mean, std
+                        )
+                    B, G, n_ex = cfg.batch_size, cfg.resident_chunk_batches, len(bona_train)
+                    order = np.arange(n_ex)
+                    np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
+                    feats_src = bona_train.features
+
+                    def produce():
+                        rows_per = G * B
+                        for ci, c0 in enumerate(range(0, n_ex, rows_per)):
+                            rows = order[c0 : c0 + rows_per]
+                            g = len(rows) // B
+                            full_b = tail_b = None
+                            if g:
+                                f = gather_f32(feats_src, rows[: g * B])
+                                full_b = jax.device_put(f.reshape((g, B) + f.shape[1:]))
+                            trows = rows[g * B :]
+                            if len(trows):
+                                tail_b = jax.device_put(gather_f32(feats_src, trows))
+                            yield ci, full_b, tail_b
+
+                    for ci, full_b, tail_b in prefetched(produce(), depth=1):
+                        nr = 0
+                        if full_b is not None:
+                            self.state, loss_sum, n = self._chunk_scan(self.state, full_b)
+                            total, count = total + loss_sum, count + n
+                            nr = full_b.shape[0] * full_b.shape[1]
+                        if tail_b is not None:
+                            self.state, loss_sum, n = train_step(
+                                self.state, tail_b,
+                                jnp.ones((tail_b.shape[0],), jnp.float32),
+                            )
+                            total, count = total + loss_sum, count + n
+                            nr += tail_b.shape[0]
+                        if live_ui and float(count):
+                            batch_ctx.update_batch(
+                                BatchMetrics(ci, float(total) / float(count), nr)
+                            )
                 else:
                     from dfac_tpu.io.prefetch import prefetched
 

@@ -56,10 +56,22 @@ class DetectorConfig:
     compute_dtype: str | None = None
     device_resident: bool = False  # corpus in HBM; epoch = one scan program
     data_parallel: int = 0  # shard_map DP over N devices (0/1 = single device)
+    # stream the epoch in chunks of N batches (one dispatch per chunk,
+    # upload overlapped) — for corpora larger than HBM; 0 = off
+    resident_chunk_batches: int = 0
 
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
+        if self.resident_chunk_batches < 0:
+            raise ValueError("resident_chunk_batches must be >= 0")
+        if self.resident_chunk_batches and self.device_resident:
+            raise ValueError(
+                "resident_chunk_batches streams the corpus in chunks; it is "
+                "the larger-than-HBM alternative to device_resident — set one"
+            )
+        if self.resident_chunk_batches and self.data_parallel > 1:
+            raise ValueError("resident_chunk_batches is single-device (use data_parallel alone)")
 
 
 class DetectorState(struct.PyTreeNode):
@@ -207,6 +219,31 @@ def make_detector_dp_train_step(
             out_specs=(P(), P()),
         )
     )
+
+
+def make_detector_chunk_scan(model, tx, cfg: DetectorConfig, pos_weight: float):
+    """``lax.scan`` of the detector train step over a chunk of pre-batched
+    rows: ``feats (g, B, C, T), lengths (g, B), labels (g, B) -> state',
+    loss_sum`` — chunked streaming training for corpora larger than HBM
+    (mirrors :func:`dfac_tpu.train.loop.make_chunk_scan`; same weighted
+    sample sequence and ``state.key`` chain as the per-batch host loop,
+    floats up to XLA reassociation)."""
+    step = make_detector_train_step(model, tx, cfg, pos_weight)
+    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+
+    @jax.jit
+    def chunk_scan(state: DetectorState, feats, lengths, labels):
+        def body(carry, xs):
+            st, loss_acc = carry
+            st, loss = base(st, *xs)
+            return (st, loss_acc + loss), None
+
+        (state_out, loss), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), (feats, lengths, labels)
+        )
+        return state_out, loss
+
+    return chunk_scan
 
 
 def make_detector_epoch_scan(
@@ -461,7 +498,7 @@ class DetectorTrainer:
             train_step = make_detector_train_step(self.model, self.tx, cfg, pos_weight)
 
         n_batches_epoch = -(-n // cfg.batch_size)
-        epoch_scan = feats_d = lengths_d = labels_d = None
+        epoch_scan = feats_d = lengths_d = labels_d = chunk_scan = None
         if cfg.device_resident and dp > 1:
             import logging
 
@@ -491,6 +528,55 @@ class DetectorTrainer:
                     jnp.asarray(order.astype(np.int32)),
                 )
                 total_loss, n_batches = float(total_loss), n_batches_epoch
+            elif cfg.resident_chunk_batches > 0:
+                # chunked streaming (corpora larger than HBM): G-batch scan
+                # dispatches, chunk upload overlapped in a prefetch thread;
+                # same weighted sample sequence as the host loop below
+                from dfac_tpu.io.fastcast import gather_f32
+                from dfac_tpu.io.prefetch import prefetched
+
+                if chunk_scan is None:
+                    chunk_scan = make_detector_chunk_scan(
+                        self.model, self.tx, cfg, pos_weight
+                    )
+                B, G = cfg.batch_size, cfg.resident_chunk_batches
+                feats_src = train_ds.features
+                labels_f = labels.astype(np.float32)
+
+                def produce():
+                    rows_per = G * B
+                    for c0 in range(0, n, rows_per):
+                        rows = order[c0 : c0 + rows_per]
+                        g = len(rows) // B
+                        full_b = tail_b = None
+                        if g:
+                            fr = rows[: g * B]
+                            f = gather_f32(feats_src, fr)
+                            full_b = (
+                                jax.device_put(f.reshape((g, B) + f.shape[1:])),
+                                jax.device_put(lengths[fr].reshape(g, B)),
+                                jax.device_put(labels_f[fr].reshape(g, B)),
+                            )
+                        trows = rows[g * B :]
+                        if len(trows):
+                            tail_b = (
+                                jax.device_put(gather_f32(feats_src, trows)),
+                                jax.device_put(lengths[trows]),
+                                jax.device_put(labels_f[trows]),
+                            )
+                        yield g, full_b, tail_b
+
+                total_loss, n_batches = jnp.zeros(()), 0
+                for g, full_b, tail_b in prefetched(produce(), depth=1):
+                    if full_b is not None:
+                        self.state, loss_sum = chunk_scan(self.state, *full_b)
+                        total_loss = total_loss + loss_sum  # lazy device accumulation
+                        n_batches += g
+                    if tail_b is not None:
+                        self.state, loss = train_step(self.state, *tail_b)
+                        total_loss = total_loss + loss
+                        n_batches += 1
+                total_loss = float(total_loss)
             else:
                 total_loss, n_batches = jnp.zeros(()), 0
                 for start in range(0, n, cfg.batch_size):
