@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--ema-decay", type=float, default=0.999)
     p.add_argument("--patience", type=int, default=6)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="score the test split through the folded-BN detector "
+                        "serving chain (BN folded into the encoder convs, one "
+                        "fused program, prefetch-threaded ingest)")
     p.add_argument("--device-resident", action="store_true",
                    help="corpus in HBM; each epoch runs as one scan program")
     p.add_argument("--fused-fit", action="store_true",
@@ -115,9 +119,20 @@ def main(argv=None):
     lengths = test_ds.lengths if test_ds.lengths is not None else np.full(
         len(test_ds), test_ds.features.shape[2], np.int32
     )
-    scores = detector_scores(
-        model, variables, test_ds, lengths, args.batch_size, apply_sigmoid=args.use_prob
-    )
+    if args.fast:
+        import jax.numpy as jnp
+
+        from dfac_tpu.models.fast_infer import detector_scores_fast
+
+        scores = detector_scores_fast(
+            variables, test_ds, lengths, args.batch_size,
+            apply_sigmoid=args.use_prob,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+    else:
+        scores = detector_scores(
+            model, variables, test_ds, lengths, args.batch_size, apply_sigmoid=args.use_prob
+        )
     write_predictions(args.prediction_pkl, test_ds.uttids, scores)
     print(f"Saved prediction file -> {args.prediction_pkl}  shape: ({len(scores)}, 2)")
 

@@ -394,3 +394,103 @@ def cnn2d_fast_scores_tf(
     logits = emb.astype(dt) @ folded["w_cls"].astype(dt) + folded["b_cls"]
     logits = logits[:, 0].astype(jnp.float32)
     return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+
+def fold_detector(variables: dict, eps: float = 1e-5) -> dict:
+    """Fold the detector's three BatchNorm1d layers into the encoder conv
+    kernels/biases (eval-mode affine algebra, same as :func:`fold_cnn2d`).
+    ``variables`` is the eval variable dict (EMA params when the trainer
+    ran with ``--ema``). Reference eval chain: ``src/dlqueen_model.py:131-173``.
+    """
+    p, bs = variables["params"], variables["batch_stats"]
+    folded = {}
+    for i in (1, 2, 3):
+        k = jnp.asarray(p[f"enc_conv{i}"]["conv"]["kernel"], jnp.float32)
+        b = jnp.asarray(p[f"enc_conv{i}"]["conv"]["bias"], jnp.float32)
+        scale = jnp.asarray(p[f"enc_bn{i}"]["scale"], jnp.float32)
+        shift = jnp.asarray(p[f"enc_bn{i}"]["bias"], jnp.float32)
+        mean = jnp.asarray(bs[f"enc_bn{i}"]["mean"], jnp.float32)
+        var = jnp.asarray(bs[f"enc_bn{i}"]["var"], jnp.float32)
+        inv = scale * jax.lax.rsqrt(var + eps)
+        folded[f"w{i}"] = k * inv
+        folded[f"b{i}"] = (b - mean) * inv + shift
+    for j in (1, 2):
+        folded[f"fc{j}_w"] = jnp.asarray(p[f"head_fc{j}"]["dense"]["kernel"], jnp.float32)
+        folded[f"fc{j}_b"] = jnp.asarray(p[f"head_fc{j}"]["dense"]["bias"], jnp.float32)
+    return folded
+
+
+@functools.partial(jax.jit, static_argnames=("swap_tf", "apply_sigmoid", "compute_dtype"))
+def detector_fast_scores(
+    folded: dict,
+    feats: jax.Array,
+    lengths: jax.Array,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = False,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Detector serving chain with folded BN: features -> (B,) logits/scores.
+
+    ``swap_tf=True`` means ``feats`` is stored-orientation (B, C, T); the
+    masked StatsPool and the exact-GELU head run in f32 exactly as the
+    model does. Equivalent to ``DeepfakeDetector.apply`` in eval mode
+    (dropout inert): conv -> folded-BN bias -> GELU x3, masked mean+std
+    pool, fc1 -> GELU -> fc2 — one fused program, no separate BN passes.
+    """
+    from dfac_tpu.models.detector import stats_pool
+
+    dt = compute_dtype
+    h = (jnp.swapaxes(feats, 1, 2) if swap_tf else feats).astype(dt)  # (B, T, C)
+    for i in (1, 2, 3):
+        h = jax.lax.conv_general_dilated(
+            h, folded[f"w{i}"].astype(dt), (1,), "SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        )
+        h = jax.nn.gelu(h + folded[f"b{i}"], approximate=False).astype(dt)
+    z = stats_pool(h.astype(jnp.float32), lengths)  # (B, 2*hidden), f32
+    z = jax.nn.gelu(
+        z.astype(dt) @ folded["fc1_w"].astype(dt) + folded["fc1_b"],
+        approximate=False,
+    )
+    logits = z.astype(dt) @ folded["fc2_w"].astype(dt) + folded["fc2_b"]
+    logits = logits[:, 0].astype(jnp.float32)
+    return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+
+def detector_scores_fast(
+    variables: dict,
+    ds,
+    lengths: np.ndarray,
+    batch_size: int = 128,
+    apply_sigmoid: bool = False,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Score a whole dataset through the folded detector chain; (N,) f32 in
+    dataset order. The fast counterpart of
+    :func:`dfac_tpu.train.detector_loop.detector_scores`: host ingest
+    (memmap pull + bf16 cast + async upload) runs in a prefetch thread,
+    per-batch results stay on device until one final fetch."""
+    from dfac_tpu.data.pipeline import pad_to_batch
+    from dfac_tpu.io.prefetch import prefetched
+
+    folded = fold_detector(variables)
+    n = len(ds)
+
+    def produce():
+        for start in range(0, n, batch_size):
+            stop = min(start + batch_size, n)
+            feats = pad_to_batch(np.asarray(ds.features[start:stop]), batch_size)
+            lens = pad_to_batch(lengths[start:stop], batch_size, pad_value=1)
+            yield _ingest(feats, compute_dtype), jax.device_put(jnp.asarray(lens))
+
+    out = [
+        detector_fast_scores(
+            folded, feats_d, lens_d,
+            apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+        )
+        for feats_d, lens_d in prefetched(produce(), depth=2)
+    ]
+    if not out:
+        return np.zeros((0,), np.float32)
+    return np.asarray(jnp.concatenate(out))[:n]

@@ -236,3 +236,68 @@ def test_fast_path_streams_from_npy_store(rng, tmp_path):
     kw["compute_dtype"] = jnp.bfloat16
     bf16_disk = predict_scores_fast(variables, ds_disk, **kw)
     np.testing.assert_allclose(bf16_disk, from_mem, atol=2e-2)
+
+
+def test_detector_fast_path_matches_reference_path(rng):
+    """Folded detector chain == DeepfakeDetector.apply in eval mode, with
+    a real length mask (variable-length rows) and randomized BN stats."""
+    from dfac_tpu.models.fast_infer import detector_fast_scores, fold_detector
+
+    model = build_model("detector", in_channels=F_, hidden=24, dropout=0.3)
+    variables = _randomize_bn(
+        model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            jnp.zeros((1, T_, F_)),
+        ),
+        rng,
+    )
+    feats_stored = rng.normal(size=(B_, F_, T_)).astype(np.float32)
+    lengths = rng.integers(3, T_ + 1, size=(B_,)).astype(np.int32)
+
+    ref = np.asarray(
+        model.apply(
+            variables, jnp.transpose(jnp.asarray(feats_stored), (0, 2, 1)),
+            lengths=jnp.asarray(lengths),
+        )
+    )
+
+    folded = fold_detector(variables)
+    got32 = np.asarray(
+        detector_fast_scores(
+            folded, jnp.asarray(feats_stored), jnp.asarray(lengths),
+            compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(got32, ref, atol=1e-4)
+    got16 = np.asarray(
+        detector_fast_scores(folded, jnp.asarray(feats_stored), jnp.asarray(lengths))
+    )
+    np.testing.assert_allclose(got16, ref, atol=0.15)  # bf16 activations
+
+
+def test_detector_scores_fast_corpus(rng):
+    """Whole-corpus folded scorer: dataset order, tail handling, parity
+    with the per-batch slow scorer."""
+    from dfac_tpu.data.pipeline import ArrayDataset
+    from dfac_tpu.models.fast_infer import detector_scores_fast
+    from dfac_tpu.train.detector_loop import detector_scores
+
+    n = 21  # forces a padded tail at batch_size 8
+    model = build_model("detector", in_channels=F_, hidden=16, dropout=0.0)
+    variables = _randomize_bn(
+        model.init(
+            {"params": jax.random.key(2), "dropout": jax.random.key(3)},
+            jnp.zeros((1, T_, F_)),
+        ),
+        rng,
+    )
+    feats = rng.normal(size=(n, F_, T_)).astype(np.float32)
+    lengths = rng.integers(3, T_ + 1, size=(n,)).astype(np.int32)
+    ds = ArrayDataset([f"u{i}" for i in range(n)], feats, None)
+
+    slow = detector_scores(model, variables, ds, lengths, batch_size=8)
+    fast = detector_scores_fast(
+        variables, ds, lengths, batch_size=8, compute_dtype=jnp.float32
+    )
+    assert fast.shape == (n,)
+    np.testing.assert_allclose(fast, slow, atol=1e-4)
