@@ -95,8 +95,10 @@ class TrainConfig:
                 "resident_chunk_batches streams the corpus in chunks; it is "
                 "the larger-than-HBM alternative to device_resident — set one"
             )
-        if self.resident_chunk_batches and self.data_parallel > 1:
-            raise ValueError("resident_chunk_batches is single-device (use data_parallel alone)")
+        # chunked + DP composes (a G-batch scan of the shard_map step);
+        # batch_size % data_parallel == 0 is enforced above and the
+        # tail-divisibility check (needs the corpus length) lives in
+        # _chunked_epoch
 
 
 def _model_kwargs(cfg: TrainConfig) -> dict:
@@ -206,6 +208,32 @@ def make_chunk_scan(
     sign-sensitive normalization then makes long runs drift, exactly as
     recompiling any step does)."""
     base_jit = make_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
+    return _chunk_scan_over(base_jit)
+
+
+def make_dp_chunk_scan(
+    model: Any,
+    tx: optax.GradientTransformation,
+    mesh,
+    swap_tf: bool,
+    label_smoothing: float,
+    augment_fn: Callable | None,
+):
+    """Chunked streaming x data parallelism: a ``lax.scan`` over the
+    shard_map DP train step (``parallel.data_parallel``). Each chunk is a
+    (g, B, ...) array sharded over the mesh's 'data' axis on its batch
+    dim; every scan iteration runs one exact-global-batch DP step. For
+    multi-chip training on corpora larger than (aggregate) HBM."""
+    from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
+
+    step_jit = make_shard_map_train_step(
+        model, tx, mesh, swap_tf=swap_tf,
+        label_smoothing=label_smoothing, augment_fn=augment_fn,
+    )
+    return _chunk_scan_over(step_jit)
+
+
+def _chunk_scan_over(base_jit):
     base = base_jit.__wrapped__ if hasattr(base_jit, "__wrapped__") else base_jit
 
     @jax.jit
@@ -587,15 +615,36 @@ class Trainer:
         ``/root/reference/src/train.py:31-62``."""
         cfg = self.cfg
         B, G, n = cfg.batch_size, cfg.resident_chunk_batches, len(ds)
+        dp = cfg.data_parallel
+        if dp > 1 and (n % B) % dp != 0:
+            raise ValueError(
+                f"chunked data-parallel training needs every batch (including "
+                f"the {n % B}-row tail of the {n}-sample epoch) to divide over "
+                f"{dp} shards — pick a batch_size with tail % data_parallel == 0"
+            )
         order = np.arange(n)
         np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
         labels_all = np.asarray(
             ds.labels if ds.labels is not None else np.zeros(n), np.float32
         )
+        chunk_sharding = None
         if self._chunk_scan is None:
-            self._chunk_scan = make_chunk_scan(
-                self.model, self.tx, cfg.swap_tf, cfg.label_smoothing, self.augment_fn
-            )
+            if dp > 1:
+                self._chunk_scan = make_dp_chunk_scan(
+                    self.model, self.tx, self.mesh, cfg.swap_tf,
+                    cfg.label_smoothing, self.augment_fn,
+                )
+            else:
+                self._chunk_scan = make_chunk_scan(
+                    self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
+                    self.augment_fn,
+                )
+        if dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # batch dim (axis 1 of the (g, B, ...) chunk) over 'data' —
+            # uploads land sharded, no GSPMD reshard before the scan
+            chunk_sharding = NamedSharding(self.mesh, PartitionSpec(None, "data"))
         from dfac_tpu.io.fastcast import gather_f32
         from dfac_tpu.io.prefetch import prefetched
 
@@ -611,6 +660,12 @@ class Trainer:
                 return gather_f32(feats_src, rows)
             return np.asarray(feats_src[rows], np.float32)
 
+        tail_sharding = None
+        if chunk_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            tail_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+
         def produce():
             rows_per = G * B
             for ci, c0 in enumerate(range(0, n, rows_per)):
@@ -620,14 +675,18 @@ class Trainer:
                 if g:
                     feats = gather(rows[: g * B])
                     full = (
-                        jax.device_put(feats.reshape((g, B) + feats.shape[1:])),
-                        jax.device_put(labels_all[rows[: g * B]].reshape(g, B)),
+                        jax.device_put(
+                            feats.reshape((g, B) + feats.shape[1:]), chunk_sharding
+                        ),
+                        jax.device_put(
+                            labels_all[rows[: g * B]].reshape(g, B), chunk_sharding
+                        ),
                     )
                 trows = rows[g * B :]
                 if len(trows):  # only ever the epoch's final partial batch
                     tail = (
-                        jax.device_put(gather(trows)),
-                        jax.device_put(labels_all[trows]),
+                        jax.device_put(gather(trows), tail_sharding),
+                        jax.device_put(labels_all[trows], tail_sharding),
                     )
                 yield ci, full, tail
 

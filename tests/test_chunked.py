@@ -125,6 +125,42 @@ def test_chunked_streams_from_npy_store(tmp_path):
     assert np.isfinite(result["history"][-1].train_loss)
 
 
+def test_chunked_composes_with_data_parallel():
+    """Chunked streaming over the shard_map DP step: same semantics as the
+    per-batch DP loop (same batches, same per-shard PRNG fold-ins)."""
+    train_ds, dev_ds = _ds(10, n=28), _ds(11, 16)
+    # n=28, B=8 -> 3 full batches + tail of 4; tail % dp(4) == 0
+    base_cfg = TrainConfig(
+        model="cnn2d", batch_size=8, epochs=2, in_features=16,
+        dropout=0.2, lr=1e-4, data_parallel=4,
+    )
+    t_host = Trainer(base_cfg)
+    r_host = t_host.fit(train_ds, dev_ds)
+    t_chunk = Trainer(dataclasses.replace(base_cfg, resident_chunk_batches=2))
+    r_chunk = t_chunk.fit(train_ds, dev_ds)
+
+    for mh, mc in zip(r_host["history"], r_chunk["history"]):
+        assert mh.train_loss == pytest.approx(mc.train_loss, rel=1e-4)
+    for h, c in zip(
+        jax.tree.leaves(t_host.state.params), jax.tree.leaves(t_chunk.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(h, np.float64), np.asarray(c, np.float64),
+            atol=20 * base_cfg.lr,
+        )
+
+
+def test_chunked_dp_tail_divisibility_error():
+    train_ds, dev_ds = _ds(12, n=26), _ds(13, 16)  # tail 2, dp 4 -> error
+    cfg = TrainConfig(
+        model="cnn1d", batch_size=8, epochs=1, in_features=16,
+        data_parallel=4, resident_chunk_batches=2,
+    )
+    tr = Trainer(cfg)
+    with pytest.raises(ValueError, match="divide over"):
+        tr.fit(train_ds, dev_ds)
+
+
 def test_cae_chunked_matches_host_loop():
     from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
 
@@ -177,7 +213,8 @@ def test_detector_chunked_matches_host_loop():
 def test_config_validation():
     with pytest.raises(ValueError, match="alternative to device_resident"):
         TrainConfig(resident_chunk_batches=2, device_resident=True)
-    with pytest.raises(ValueError, match="single-device"):
-        TrainConfig(resident_chunk_batches=2, data_parallel=2, batch_size=8)
+    # chunked + data_parallel composes for the supervised trainer (the
+    # tail-divisibility check happens at fit time with the corpus length)
+    TrainConfig(resident_chunk_batches=2, data_parallel=2, batch_size=8)
     with pytest.raises(ValueError, match=">= 0"):
         TrainConfig(resident_chunk_batches=-1)
