@@ -51,7 +51,8 @@ def parse_args(argv=None):
                    "as one dispatched program")
     p.add_argument("--resident-chunk-batches", type=int, default=0, metavar="G",
                    help="stream the epoch in chunks of G batches (one dispatch per "
-                        "chunk, upload overlapped) — for corpora larger than HBM")
+                        "chunk, upload overlapped) — for corpora larger than HBM; "
+                        "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     return p.parse_args(argv)

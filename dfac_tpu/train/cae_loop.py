@@ -73,8 +73,9 @@ class CAEConfig:
                 "resident_chunk_batches streams the corpus in chunks; it is "
                 "the larger-than-HBM alternative to device_resident — set one"
             )
-        if self.resident_chunk_batches and self.data_parallel > 1:
-            raise ValueError("resident_chunk_batches is single-device (use data_parallel alone)")
+        # chunked + data_parallel composes (a G-batch scan of the shard_map
+        # DP step); the tail-divisibility check needs the bonafide corpus
+        # length, so it lives in fit()
 
 
 def make_cae_train_step(model, tx, mean, std):
@@ -229,7 +230,17 @@ def make_cae_chunk_scan(model, tx, mean, std):
     (mirrors :func:`dfac_tpu.train.loop.make_chunk_scan`; same batches and
     ``state.key`` chain as the per-batch host loop, floats up to XLA
     reassociation)."""
-    step = make_cae_train_step(model, tx, mean, std)
+    return _cae_chunk_scan_over(make_cae_train_step(model, tx, mean, std))
+
+
+def make_cae_dp_chunk_scan(model, tx, mean, std, mesh):
+    """Chunked streaming x data parallelism for the CAE: a ``lax.scan``
+    over the shard_map DP step (each chunk batch dim sharded over 'data';
+    mirrors :func:`dfac_tpu.train.loop.make_dp_chunk_scan`)."""
+    return _cae_chunk_scan_over(make_cae_dp_train_step(model, tx, mean, std, mesh))
+
+
+def _cae_chunk_scan_over(step):
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
     @jax.jit
@@ -629,11 +640,26 @@ class CAETrainer:
                     from dfac_tpu.io.fastcast import gather_f32
                     from dfac_tpu.io.prefetch import prefetched
 
-                    if getattr(self, "_chunk_scan", None) is None:
-                        self._chunk_scan = make_cae_chunk_scan(
-                            self.model, self.tx, mean, std
-                        )
                     B, G, n_ex = cfg.batch_size, cfg.resident_chunk_batches, len(bona_train)
+                    chunk_sh = tail_sh = None
+                    if dp > 1:
+                        if (n_ex % B) % dp != 0:
+                            raise ValueError(
+                                f"chunked data-parallel CAE training needs every "
+                                f"batch (including the {n_ex % B}-row tail of the "
+                                f"{n_ex}-row bonafide corpus) to divide over {dp} "
+                                "shards — pick a batch_size with tail % data_parallel == 0"
+                            )
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        chunk_sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+                        tail_sh = NamedSharding(self.mesh, PartitionSpec("data"))
+                    if getattr(self, "_chunk_scan", None) is None:
+                        self._chunk_scan = (
+                            make_cae_dp_chunk_scan(self.model, self.tx, mean, std, self.mesh)
+                            if dp > 1
+                            else make_cae_chunk_scan(self.model, self.tx, mean, std)
+                        )
                     order = np.arange(n_ex)
                     np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
                     feats_src = bona_train.features
@@ -646,10 +672,12 @@ class CAETrainer:
                             full_b = tail_b = None
                             if g:
                                 f = gather_f32(feats_src, rows[: g * B])
-                                full_b = jax.device_put(f.reshape((g, B) + f.shape[1:]))
+                                full_b = jax.device_put(
+                                    f.reshape((g, B) + f.shape[1:]), chunk_sh
+                                )
                             trows = rows[g * B :]
                             if len(trows):
-                                tail_b = jax.device_put(gather_f32(feats_src, trows))
+                                tail_b = jax.device_put(gather_f32(feats_src, trows), tail_sh)
                             yield ci, full_b, tail_b
 
                     for ci, full_b, tail_b in prefetched(produce(), depth=1):

@@ -70,8 +70,9 @@ class DetectorConfig:
                 "resident_chunk_batches streams the corpus in chunks; it is "
                 "the larger-than-HBM alternative to device_resident — set one"
             )
-        if self.resident_chunk_batches and self.data_parallel > 1:
-            raise ValueError("resident_chunk_batches is single-device (use data_parallel alone)")
+        # chunked + data_parallel composes (a G-batch scan of the shard_map
+        # DP step); the tail-divisibility check needs the corpus length, so
+        # it lives in fit()
 
 
 class DetectorState(struct.PyTreeNode):
@@ -229,13 +230,27 @@ def make_detector_chunk_scan(model, tx, cfg: DetectorConfig, pos_weight: float):
     sample sequence and ``state.key`` chain as the per-batch host loop,
     floats up to XLA reassociation)."""
     step = make_detector_train_step(model, tx, cfg, pos_weight)
+    return _detector_chunk_scan_over(step, with_weights=False)
+
+
+def make_detector_dp_chunk_scan(model, tx, cfg: DetectorConfig, pos_weight: float, mesh):
+    """Chunked streaming x data parallelism for the detector: a ``lax.scan``
+    over the shard_map DP step (each chunk batch dim sharded over 'data';
+    mirrors :func:`dfac_tpu.train.loop.make_dp_chunk_scan`)."""
+    step = make_detector_dp_train_step(model, tx, cfg, pos_weight, mesh)
+    return _detector_chunk_scan_over(step, with_weights=True)
+
+
+def _detector_chunk_scan_over(step, with_weights: bool):
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
     @jax.jit
     def chunk_scan(state: DetectorState, feats, lengths, labels):
+        ones = jnp.ones((feats.shape[1],), jnp.float32)
+
         def body(carry, xs):
             st, loss_acc = carry
-            st, loss = base(st, *xs)
+            st, loss = base(st, *xs, ones) if with_weights else base(st, *xs)
             return (st, loss_acc + loss), None
 
         (state_out, loss), _ = jax.lax.scan(
@@ -535,11 +550,30 @@ class DetectorTrainer:
                 from dfac_tpu.io.fastcast import gather_f32
                 from dfac_tpu.io.prefetch import prefetched
 
-                if chunk_scan is None:
-                    chunk_scan = make_detector_chunk_scan(
-                        self.model, self.tx, cfg, pos_weight
-                    )
                 B, G = cfg.batch_size, cfg.resident_chunk_batches
+                chunk_sh = tail_sh = None
+                if dp > 1:
+                    if (n % B) % dp != 0:
+                        raise ValueError(
+                            f"chunked data-parallel detector training needs every "
+                            f"batch (including the {n % B}-row tail of the "
+                            f"{n}-sample epoch) to divide over {dp} shards — pick "
+                            "a batch_size with tail % data_parallel == 0"
+                        )
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    chunk_sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+                    tail_sh = NamedSharding(self.mesh, PartitionSpec("data"))
+                if chunk_scan is None:
+                    chunk_scan = (
+                        make_detector_dp_chunk_scan(
+                            self.model, self.tx, cfg, pos_weight, self.mesh
+                        )
+                        if dp > 1
+                        else make_detector_chunk_scan(
+                            self.model, self.tx, cfg, pos_weight
+                        )
+                    )
                 feats_src = train_ds.features
                 labels_f = labels.astype(np.float32)
 
@@ -553,16 +587,16 @@ class DetectorTrainer:
                             fr = rows[: g * B]
                             f = gather_f32(feats_src, fr)
                             full_b = (
-                                jax.device_put(f.reshape((g, B) + f.shape[1:])),
-                                jax.device_put(lengths[fr].reshape(g, B)),
-                                jax.device_put(labels_f[fr].reshape(g, B)),
+                                jax.device_put(f.reshape((g, B) + f.shape[1:]), chunk_sh),
+                                jax.device_put(lengths[fr].reshape(g, B), chunk_sh),
+                                jax.device_put(labels_f[fr].reshape(g, B), chunk_sh),
                             )
                         trows = rows[g * B :]
                         if len(trows):
                             tail_b = (
-                                jax.device_put(gather_f32(feats_src, trows)),
-                                jax.device_put(lengths[trows]),
-                                jax.device_put(labels_f[trows]),
+                                jax.device_put(gather_f32(feats_src, trows), tail_sh),
+                                jax.device_put(lengths[trows], tail_sh),
+                                jax.device_put(labels_f[trows], tail_sh),
                             )
                         yield g, full_b, tail_b
 

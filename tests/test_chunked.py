@@ -210,6 +210,57 @@ def test_detector_chunked_matches_host_loop():
         )
 
 
+def test_cae_chunked_composes_with_data_parallel():
+    from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
+
+    train_ds, dev_ds = _ds(14, n=32), _ds(15, 16)
+    # bonafide rows: 16 -> 2 full batches of 8, no tail (divides over dp=4)
+    base_cfg = CAEConfig(
+        batch_size=8, epochs=2, base_channels=4, lr=1e-4, data_parallel=4,
+    )
+    t_host = CAETrainer(base_cfg)
+    r_host = t_host.fit(train_ds, dev_ds)
+    t_chunk = CAETrainer(dataclasses.replace(base_cfg, resident_chunk_batches=2))
+    r_chunk = t_chunk.fit(train_ds, dev_ds)
+
+    for mh, mc in zip(r_host["history"], r_chunk["history"]):
+        assert mh.train_loss == pytest.approx(mc.train_loss, rel=1e-4)
+    for h, c in zip(
+        jax.tree.leaves(t_host.state.params), jax.tree.leaves(t_chunk.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(h, np.float64), np.asarray(c, np.float64),
+            atol=20 * base_cfg.lr,
+        )
+
+
+def test_detector_chunked_composes_with_data_parallel():
+    from dfac_tpu.train.detector_loop import DetectorConfig, DetectorTrainer
+
+    train_ds, dev_ds = _ds(16, n=28), _ds(17, 16)
+    # n=28, B=8 -> tail of 4, divides over dp=4
+    base_cfg = DetectorConfig(
+        batch_size=8, epochs=2, hidden=16, dropout=0.0, lr=1e-4, seed=5,
+        data_parallel=4,
+    )
+    t_host = DetectorTrainer(base_cfg, in_channels=16)
+    r_host = t_host.fit(train_ds, dev_ds)
+    t_chunk = DetectorTrainer(
+        dataclasses.replace(base_cfg, resident_chunk_batches=2), in_channels=16
+    )
+    r_chunk = t_chunk.fit(train_ds, dev_ds)
+
+    for mh, mc in zip(r_host["history"], r_chunk["history"]):
+        assert mh["train_loss"] == pytest.approx(mc["train_loss"], rel=1e-4)
+    for h, c in zip(
+        jax.tree.leaves(t_host.state.params), jax.tree.leaves(t_chunk.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(h, np.float64), np.asarray(c, np.float64),
+            atol=20 * base_cfg.lr,
+        )
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="alternative to device_resident"):
         TrainConfig(resident_chunk_batches=2, device_resident=True)
