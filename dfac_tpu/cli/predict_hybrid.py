@@ -67,6 +67,7 @@ def main(argv=None):
             raise SystemExit("--data-parallel requires --fast with --cnn-model cnn2d")
         if args.batch_size % args.data_parallel:
             raise SystemExit("--batch-size must divide by --data-parallel")
+        import jax
         import jax.numpy as jnp
         import numpy as np
 
@@ -75,8 +76,6 @@ def main(argv=None):
         from dfac_tpu.parallel.mesh import make_mesh
         from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
 
-        from dfac_tpu.models.fast_infer import _ingest
-
         mesh = make_mesh(n_data=args.data_parallel)
         scorer = make_sharded_hybrid_scorer(mesh)
         folded_sup, folded_cae = fold_cnn2d(cnn_vars), fold_cae(cae_vars)
@@ -84,11 +83,12 @@ def main(argv=None):
         std = jnp.asarray(normalizer.std)
         sup_chunks, mse_chunks, masks = [], [], []
         for batch in batch_iterator(ds, args.batch_size):
-            # host bf16 cast halves the upload (the chain's first op is the
-            # same cast on device — bit-identical; see fast_infer._ingest)
+            # f32 upload, NOT a host bf16 cast: the one feats array feeds
+            # BOTH legs, and the CAE leg's MSE target is formed in f32
+            # from the raw input — pre-quantizing would shift its scores
             s, m = scorer(
                 folded_sup, folded_cae, mean, std,
-                _ingest(batch.features, jnp.bfloat16),
+                jax.device_put(np.ascontiguousarray(batch.features)),
             )
             sup_chunks.append(s)
             mse_chunks.append(m)

@@ -79,7 +79,12 @@ def parse_args(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
     add_swap_tf_args(p)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.fused_fit and args.resident_chunk_batches:
+        p.error("--fused-fit compiles the whole run over a device-resident "
+                "corpus; it cannot stream chunks — drop one of "
+                "--fused-fit/--resident-chunk-batches")
+    return args
 
 
 def _debug_augment_stats(augment_fn, feats_swapped):

@@ -41,7 +41,12 @@ def parse_args(argv=None):
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.fused_fit and args.resident_chunk_batches:
+        p.error("--fused-fit compiles the whole run over a device-resident "
+                "corpus; it cannot stream chunks — drop one of "
+                "--fused-fit/--resident-chunk-batches")
+    return args
 
 
 def main(argv=None):

@@ -55,7 +55,12 @@ def parse_args(argv=None):
                         "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.fused_fit and args.resident_chunk_batches:
+        p.error("--fused-fit compiles the whole run over a device-resident "
+                "corpus; it cannot stream chunks — drop one of "
+                "--fused-fit/--resident-chunk-batches")
+    return args
 
 
 def main(argv=None):

@@ -7,20 +7,36 @@ ml_dtypes astype is single-threaded; the native kernel fans the cast over
 a thread pool and reads straight from the memory-mapped corpus, so page
 faults (disk read) parallelize with conversion.
 
-The shared object is built lazily with g++ on first use and cached next
-to the source (or in ``$DFAC_TPU_NATIVE_CACHE`` / a temp dir when the
-package directory is read-only). Every caller falls back to the numpy
-path when no compiler is available — the native library is a throughput
-optimization, never a correctness dependency. Bit-exactness with
-ml_dtypes' round-to-nearest-even is test-enforced (tests/test_fastcast.py).
+Build/load strategy (robust against the classic native-extension traps):
+
+* the shared object is built lazily with g++ on first use, into a cache
+  directory OUTSIDE the package tree (``$DFAC_TPU_NATIVE_CACHE``, then
+  ``~/.cache/dfac_tpu``, then a per-uid temp dir whose OWNERSHIP is
+  verified before use — a world-writable fixed /tmp path would let
+  another local user pre-plant a library);
+* the filename embeds a hash of the source text and compile flags, so a
+  source edit or flag change can never pick up a stale binary (no mtime
+  heuristics), and binaries from different versions coexist;
+* the compile writes to a pid-suffixed temp name and ``os.replace``s it
+  into place — concurrent loaders either see nothing (and build their
+  own) or a complete file, never a half-written one;
+* default flags are portable (``-O3``, no ``-march=native``): the cast is
+  memory-bound, ISA-specific vectorization buys little, and a binary that
+  outlives the build host must not SIGILL elsewhere. Opt in to stronger
+  flags via ``DFAC_TPU_NATIVE_CFLAGS``.
+
+Every caller falls back to the numpy path when no compiler is available —
+the native library is a throughput optimization, never a correctness
+dependency. Bit-exactness with ml_dtypes' round-to-nearest-even is
+test-enforced (tests/test_fastcast.py).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
-import sys
 import tempfile
 import threading
 
@@ -28,32 +44,62 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fastcast.cpp")
 _ABI = 1
+_BASE_FLAGS = ["-O3", "-shared", "-fPIC", "-pthread"]
 
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
 
 
+def _flags() -> list[str]:
+    extra = os.environ.get("DFAC_TPU_NATIVE_CFLAGS", "")
+    return _BASE_FLAGS + (extra.split() if extra else [])
+
+
+def _so_name() -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    h = hashlib.sha256(src + " ".join(_flags()).encode()).hexdigest()[:12]
+    return f"_dfac_fastcast_{h}.so"
+
+
 def _cache_dirs():
     env = os.environ.get("DFAC_TPU_NATIVE_CACHE")
     if env:
         yield env
-    yield os.path.dirname(_SRC)
-    yield os.path.join(tempfile.gettempdir(), f"dfac_tpu_native_py{sys.version_info[0]}")
+    yield os.path.join(os.path.expanduser("~"), ".cache", "dfac_tpu")
+    yield os.path.join(tempfile.gettempdir(), f"dfac_tpu_native_uid{os.getuid()}")
+
+
+def _dir_usable(d: str) -> bool:
+    try:
+        os.makedirs(d, exist_ok=True)
+        st = os.stat(d)
+    except OSError:
+        return False
+    # refuse a cache dir owned by someone else (pre-planted library risk)
+    return st.st_uid == os.getuid()
 
 
 def _build(so_path: str) -> bool:
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-        "-o", so_path, _SRC,
-    ]
+    tmp = f"{so_path}.tmp{os.getpid()}"
+    cmd = ["g++", *_flags(), "-o", tmp, _SRC]
     try:
         proc = subprocess.run(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=120
         )
+        if proc.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, so_path)  # atomic: readers never see a partial file
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
-    return proc.returncode == 0 and os.path.exists(so_path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _bind(lib) -> bool:
@@ -88,21 +134,15 @@ def load():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if os.environ.get("DFAC_TPU_NO_NATIVE"):
+        if os.environ.get("DFAC_TPU_NO_NATIVE") or not os.path.exists(_SRC):
             _lib_failed = True
             return None
-        src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
+        name = _so_name()
         for d in _cache_dirs():
-            so_path = os.path.join(d, "_dfac_fastcast.so")
-            try:
-                os.makedirs(d, exist_ok=True)
-            except OSError:
+            if not _dir_usable(d):
                 continue
-            fresh = (
-                os.path.exists(so_path)
-                and os.path.getmtime(so_path) >= src_mtime
-            )
-            if not fresh and not _build(so_path):
+            so_path = os.path.join(d, name)
+            if not os.path.exists(so_path) and not _build(so_path):
                 continue
             try:
                 lib = ctypes.CDLL(so_path)

@@ -356,7 +356,11 @@ def cae_mse_scores_fast(
             swap_tf=swap_tf, compute_dtype=compute_dtype,
         ),
         ds, batch_size,
-        prepare_batch=lambda b: _ingest(b.features, compute_dtype),
+        # f32 upload, NOT the bf16 _ingest cast: cae_fast_mse normalizes
+        # and forms its per-sample MSE TARGET in f32 from the raw input
+        # (only the encoder/decoder run in compute_dtype) — pre-quantizing
+        # the input would silently shift every score
+        prepare_batch=lambda b: jax.device_put(np.ascontiguousarray(b.features)),
     )
 
 

@@ -230,34 +230,24 @@ def make_cae_chunk_scan(model, tx, mean, std):
     (mirrors :func:`dfac_tpu.train.loop.make_chunk_scan`; same batches and
     ``state.key`` chain as the per-batch host loop, floats up to XLA
     reassociation)."""
-    return _cae_chunk_scan_over(make_cae_train_step(model, tx, mean, std))
+    from dfac_tpu.train.chunked import chunk_scan_over
+
+    return chunk_scan_over(
+        make_cae_train_step(model, tx, mean, std),
+        append_ones=True, track_count=True,
+    )
 
 
 def make_cae_dp_chunk_scan(model, tx, mean, std, mesh):
     """Chunked streaming x data parallelism for the CAE: a ``lax.scan``
     over the shard_map DP step (each chunk batch dim sharded over 'data';
     mirrors :func:`dfac_tpu.train.loop.make_dp_chunk_scan`)."""
-    return _cae_chunk_scan_over(make_cae_dp_train_step(model, tx, mean, std, mesh))
+    from dfac_tpu.train.chunked import chunk_scan_over
 
-
-def _cae_chunk_scan_over(step):
-    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
-
-    @jax.jit
-    def chunk_scan(state: TrainState, feats):
-        ones = jnp.ones((feats.shape[1],), jnp.float32)
-
-        def body(carry, f):
-            st, loss_acc, count_acc = carry
-            st, loss_sum, count = base(st, f, ones)
-            return (st, loss_acc + loss_sum, count_acc + count), None
-
-        (state_out, loss, count), _ = jax.lax.scan(
-            body, (state, jnp.zeros(()), jnp.zeros(())), feats
-        )
-        return state_out, loss, count
-
-    return chunk_scan
+    return chunk_scan_over(
+        make_cae_dp_train_step(model, tx, mean, std, mesh),
+        append_ones=True, track_count=True,
+    )
 
 
 def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev: int):
@@ -637,23 +627,11 @@ class CAETrainer:
                     # chunked streaming (corpora larger than HBM): G-batch
                     # scan dispatches, chunk upload overlapped; same
                     # batches/PRNG chain as the host loop below
-                    from dfac_tpu.io.fastcast import gather_f32
                     from dfac_tpu.io.prefetch import prefetched
+                    from dfac_tpu.train.chunked import check_dp_tail, stream_chunks
 
-                    B, G, n_ex = cfg.batch_size, cfg.resident_chunk_batches, len(bona_train)
-                    chunk_sh = tail_sh = None
-                    if dp > 1:
-                        if (n_ex % B) % dp != 0:
-                            raise ValueError(
-                                f"chunked data-parallel CAE training needs every "
-                                f"batch (including the {n_ex % B}-row tail of the "
-                                f"{n_ex}-row bonafide corpus) to divide over {dp} "
-                                "shards — pick a batch_size with tail % data_parallel == 0"
-                            )
-                        from jax.sharding import NamedSharding, PartitionSpec
-
-                        chunk_sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-                        tail_sh = NamedSharding(self.mesh, PartitionSpec("data"))
+                    n_ex = len(bona_train)
+                    check_dp_tail(n_ex, cfg.batch_size, dp, "CAE training")
                     if getattr(self, "_chunk_scan", None) is None:
                         self._chunk_scan = (
                             make_cae_dp_chunk_scan(self.model, self.tx, mean, std, self.mesh)
@@ -662,37 +640,26 @@ class CAETrainer:
                         )
                     order = np.arange(n_ex)
                     np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
-                    feats_src = bona_train.features
-
-                    def produce():
-                        rows_per = G * B
-                        for ci, c0 in enumerate(range(0, n_ex, rows_per)):
-                            rows = order[c0 : c0 + rows_per]
-                            g = len(rows) // B
-                            full_b = tail_b = None
-                            if g:
-                                f = gather_f32(feats_src, rows[: g * B])
-                                full_b = jax.device_put(
-                                    f.reshape((g, B) + f.shape[1:]), chunk_sh
-                                )
-                            trows = rows[g * B :]
-                            if len(trows):
-                                tail_b = jax.device_put(gather_f32(feats_src, trows), tail_sh)
-                            yield ci, full_b, tail_b
-
-                    for ci, full_b, tail_b in prefetched(produce(), depth=1):
+                    chunks = stream_chunks(
+                        bona_train.features, (), order, cfg.batch_size,
+                        cfg.resident_chunk_batches,
+                        mesh=self.mesh if dp > 1 else None,
+                    )
+                    for ci, full_b, tail_b in prefetched(chunks, depth=1):
                         nr = 0
                         if full_b is not None:
-                            self.state, loss_sum, n = self._chunk_scan(self.state, full_b)
+                            (feats_c,) = full_b
+                            self.state, loss_sum, n = self._chunk_scan(self.state, feats_c)
                             total, count = total + loss_sum, count + n
-                            nr = full_b.shape[0] * full_b.shape[1]
+                            nr = feats_c.shape[0] * feats_c.shape[1]
                         if tail_b is not None:
+                            (feats_t,) = tail_b
                             self.state, loss_sum, n = train_step(
-                                self.state, tail_b,
-                                jnp.ones((tail_b.shape[0],), jnp.float32),
+                                self.state, feats_t,
+                                jnp.ones((feats_t.shape[0],), jnp.float32),
                             )
                             total, count = total + loss_sum, count + n
-                            nr += tail_b.shape[0]
+                            nr += feats_t.shape[0]
                         if live_ui and float(count):
                             batch_ctx.update_batch(
                                 BatchMetrics(ci, float(total) / float(count), nr)

@@ -229,36 +229,20 @@ def make_detector_chunk_scan(model, tx, cfg: DetectorConfig, pos_weight: float):
     (mirrors :func:`dfac_tpu.train.loop.make_chunk_scan`; same weighted
     sample sequence and ``state.key`` chain as the per-batch host loop,
     floats up to XLA reassociation)."""
+    from dfac_tpu.train.chunked import chunk_scan_over
+
     step = make_detector_train_step(model, tx, cfg, pos_weight)
-    return _detector_chunk_scan_over(step, with_weights=False)
+    return chunk_scan_over(step, append_ones=False, track_count=False)
 
 
 def make_detector_dp_chunk_scan(model, tx, cfg: DetectorConfig, pos_weight: float, mesh):
     """Chunked streaming x data parallelism for the detector: a ``lax.scan``
     over the shard_map DP step (each chunk batch dim sharded over 'data';
     mirrors :func:`dfac_tpu.train.loop.make_dp_chunk_scan`)."""
+    from dfac_tpu.train.chunked import chunk_scan_over
+
     step = make_detector_dp_train_step(model, tx, cfg, pos_weight, mesh)
-    return _detector_chunk_scan_over(step, with_weights=True)
-
-
-def _detector_chunk_scan_over(step, with_weights: bool):
-    base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
-
-    @jax.jit
-    def chunk_scan(state: DetectorState, feats, lengths, labels):
-        ones = jnp.ones((feats.shape[1],), jnp.float32)
-
-        def body(carry, xs):
-            st, loss_acc = carry
-            st, loss = base(st, *xs, ones) if with_weights else base(st, *xs)
-            return (st, loss_acc + loss), None
-
-        (state_out, loss), _ = jax.lax.scan(
-            body, (state, jnp.zeros(())), (feats, lengths, labels)
-        )
-        return state_out, loss
-
-    return chunk_scan
+    return chunk_scan_over(step, append_ones=True, track_count=False)
 
 
 def make_detector_epoch_scan(
@@ -547,23 +531,10 @@ class DetectorTrainer:
                 # chunked streaming (corpora larger than HBM): G-batch scan
                 # dispatches, chunk upload overlapped in a prefetch thread;
                 # same weighted sample sequence as the host loop below
-                from dfac_tpu.io.fastcast import gather_f32
                 from dfac_tpu.io.prefetch import prefetched
+                from dfac_tpu.train.chunked import check_dp_tail, stream_chunks
 
-                B, G = cfg.batch_size, cfg.resident_chunk_batches
-                chunk_sh = tail_sh = None
-                if dp > 1:
-                    if (n % B) % dp != 0:
-                        raise ValueError(
-                            f"chunked data-parallel detector training needs every "
-                            f"batch (including the {n % B}-row tail of the "
-                            f"{n}-sample epoch) to divide over {dp} shards — pick "
-                            "a batch_size with tail % data_parallel == 0"
-                        )
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    chunk_sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-                    tail_sh = NamedSharding(self.mesh, PartitionSpec("data"))
+                check_dp_tail(n, cfg.batch_size, dp, "detector training")
                 if chunk_scan is None:
                     chunk_scan = (
                         make_detector_dp_chunk_scan(
@@ -574,38 +545,17 @@ class DetectorTrainer:
                             self.model, self.tx, cfg, pos_weight
                         )
                     )
-                feats_src = train_ds.features
-                labels_f = labels.astype(np.float32)
-
-                def produce():
-                    rows_per = G * B
-                    for c0 in range(0, n, rows_per):
-                        rows = order[c0 : c0 + rows_per]
-                        g = len(rows) // B
-                        full_b = tail_b = None
-                        if g:
-                            fr = rows[: g * B]
-                            f = gather_f32(feats_src, fr)
-                            full_b = (
-                                jax.device_put(f.reshape((g, B) + f.shape[1:]), chunk_sh),
-                                jax.device_put(lengths[fr].reshape(g, B), chunk_sh),
-                                jax.device_put(labels_f[fr].reshape(g, B), chunk_sh),
-                            )
-                        trows = rows[g * B :]
-                        if len(trows):
-                            tail_b = (
-                                jax.device_put(gather_f32(feats_src, trows), tail_sh),
-                                jax.device_put(lengths[trows], tail_sh),
-                                jax.device_put(labels_f[trows], tail_sh),
-                            )
-                        yield g, full_b, tail_b
-
+                chunks = stream_chunks(
+                    train_ds.features, (lengths, labels.astype(np.float32)),
+                    order, cfg.batch_size, cfg.resident_chunk_batches,
+                    mesh=self.mesh if dp > 1 else None,
+                )
                 total_loss, n_batches = jnp.zeros(()), 0
-                for g, full_b, tail_b in prefetched(produce(), depth=1):
+                for ci, full_b, tail_b in prefetched(chunks, depth=1):
                     if full_b is not None:
                         self.state, loss_sum = chunk_scan(self.state, *full_b)
                         total_loss = total_loss + loss_sum  # lazy device accumulation
-                        n_batches += g
+                        n_batches += full_b[0].shape[0]
                     if tail_b is not None:
                         self.state, loss = train_step(self.state, *tail_b)
                         total_loss = total_loss + loss

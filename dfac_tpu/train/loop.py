@@ -207,8 +207,10 @@ def make_chunk_scan(
     different programs, so grads differ at the 1e-8 level — Adam's
     sign-sensitive normalization then makes long runs drift, exactly as
     recompiling any step does)."""
+    from dfac_tpu.train.chunked import chunk_scan_over
+
     base_jit = make_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
-    return _chunk_scan_over(base_jit)
+    return chunk_scan_over(base_jit, append_ones=True, track_count=True)
 
 
 def make_dp_chunk_scan(
@@ -225,33 +227,13 @@ def make_dp_chunk_scan(
     dim; every scan iteration runs one exact-global-batch DP step. For
     multi-chip training on corpora larger than (aggregate) HBM."""
     from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
+    from dfac_tpu.train.chunked import chunk_scan_over
 
     step_jit = make_shard_map_train_step(
         model, tx, mesh, swap_tf=swap_tf,
         label_smoothing=label_smoothing, augment_fn=augment_fn,
     )
-    return _chunk_scan_over(step_jit)
-
-
-def _chunk_scan_over(base_jit):
-    base = base_jit.__wrapped__ if hasattr(base_jit, "__wrapped__") else base_jit
-
-    @jax.jit
-    def chunk_scan(state: TrainState, feats, labels):
-        ones = jnp.ones((feats.shape[1],), jnp.float32)
-
-        def body(carry, xs):
-            st, loss_acc, count_acc = carry
-            f, l = xs
-            st, loss_sum, count = base(st, f, l, ones)
-            return (st, loss_acc + loss_sum, count_acc + count), None
-
-        (state_out, loss, count), _ = jax.lax.scan(
-            body, (state, jnp.zeros(()), jnp.zeros(())), (feats, labels)
-        )
-        return state_out, loss, count
-
-    return chunk_scan
+    return chunk_scan_over(step_jit, append_ones=True, track_count=True)
 
 
 def make_train_step(
@@ -613,21 +595,17 @@ class Trainer:
         (fastest, needs it to fit in HBM); the plain host loop dispatches
         per batch. Reference analogue: DataLoader worker streaming,
         ``/root/reference/src/train.py:31-62``."""
+        from dfac_tpu.io.prefetch import prefetched
+        from dfac_tpu.train.chunked import check_dp_tail, stream_chunks
+
         cfg = self.cfg
-        B, G, n = cfg.batch_size, cfg.resident_chunk_batches, len(ds)
-        dp = cfg.data_parallel
-        if dp > 1 and (n % B) % dp != 0:
-            raise ValueError(
-                f"chunked data-parallel training needs every batch (including "
-                f"the {n % B}-row tail of the {n}-sample epoch) to divide over "
-                f"{dp} shards — pick a batch_size with tail % data_parallel == 0"
-            )
+        n, dp = len(ds), cfg.data_parallel
+        check_dp_tail(n, cfg.batch_size, dp, "training")
         order = np.arange(n)
         np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
         labels_all = np.asarray(
             ds.labels if ds.labels is not None else np.zeros(n), np.float32
         )
-        chunk_sharding = None
         if self._chunk_scan is None:
             if dp > 1:
                 self._chunk_scan = make_dp_chunk_scan(
@@ -639,58 +617,11 @@ class Trainer:
                     self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
                     self.augment_fn,
                 )
-        if dp > 1:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            # batch dim (axis 1 of the (g, B, ...) chunk) over 'data' —
-            # uploads land sharded, no GSPMD reshard before the scan
-            chunk_sharding = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-        from dfac_tpu.io.fastcast import gather_f32
-        from dfac_tpu.io.prefetch import prefetched
-
-        feats_src = ds.features
-        native_ok = (
-            isinstance(feats_src, np.ndarray)
-            and feats_src.dtype == np.float32
-            and feats_src.flags.c_contiguous
+        chunks = stream_chunks(
+            ds.features, (labels_all,), order, cfg.batch_size,
+            cfg.resident_chunk_batches, mesh=self.mesh if dp > 1 else None,
         )
-
-        def gather(rows):
-            if native_ok:
-                return gather_f32(feats_src, rows)
-            return np.asarray(feats_src[rows], np.float32)
-
-        tail_sharding = None
-        if chunk_sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            tail_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
-
-        def produce():
-            rows_per = G * B
-            for ci, c0 in enumerate(range(0, n, rows_per)):
-                rows = order[c0 : c0 + rows_per]
-                g = len(rows) // B
-                full = tail = None
-                if g:
-                    feats = gather(rows[: g * B])
-                    full = (
-                        jax.device_put(
-                            feats.reshape((g, B) + feats.shape[1:]), chunk_sharding
-                        ),
-                        jax.device_put(
-                            labels_all[rows[: g * B]].reshape(g, B), chunk_sharding
-                        ),
-                    )
-                trows = rows[g * B :]
-                if len(trows):  # only ever the epoch's final partial batch
-                    tail = (
-                        jax.device_put(gather(trows), tail_sharding),
-                        jax.device_put(labels_all[trows], tail_sharding),
-                    )
-                yield ci, full, tail
-
-        for ci, full, tail in prefetched(produce(), depth=1):
+        for ci, full, tail in prefetched(chunks, depth=1):
             if full is not None:
                 self.state, loss_sum, count = self._chunk_scan(self.state, *full)
                 after_step(ci, loss_sum, count)

@@ -301,3 +301,33 @@ def test_detector_scores_fast_corpus(rng):
     )
     assert fast.shape == (n,)
     np.testing.assert_allclose(fast, slow, atol=1e-4)
+
+
+def test_cae_corpus_scorer_does_not_prequantize_input(rng):
+    """Regression: cae_mse_scores_fast must upload f32 features — the MSE
+    TARGET is formed in f32 from the raw input inside cae_fast_mse, so a
+    host bf16 pre-cast (valid for the classifier chains whose first op IS
+    the bf16 cast) would silently shift every CAE score."""
+    from dfac_tpu.data.normalizer import FeatureNormalizer
+    from dfac_tpu.data.pipeline import ArrayDataset
+    from dfac_tpu.models.fast_infer import cae_fast_mse, cae_mse_scores_fast, fold_cae
+
+    t_dim, f_dim, n = 24, 16, 10
+    model = build_model("cae", base_channels=4)
+    variables = model.init({"params": jax.random.key(5)}, jnp.zeros((1, t_dim, f_dim)))
+    feats = rng.normal(size=(n, f_dim, t_dim)).astype(np.float32)
+    ds = ArrayDataset([f"u{i}" for i in range(n)], feats, None)
+    normalizer = FeatureNormalizer(
+        mean=rng.normal(size=(f_dim,)).astype(np.float32) * 0.2,
+        std=(rng.random(f_dim) + 0.5).astype(np.float32),
+    )
+
+    got = cae_mse_scores_fast(variables, ds, normalizer, batch_size=4)  # bf16 chain
+    folded = fold_cae(variables)
+    want = np.asarray(
+        cae_fast_mse(
+            folded, jnp.asarray(feats),  # raw f32 input, same bf16 chain
+            jnp.asarray(normalizer.mean), jnp.asarray(normalizer.std),
+        )
+    )
+    np.testing.assert_array_equal(got, want)
