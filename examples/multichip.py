@@ -106,7 +106,27 @@ def main():
         f"dp train step: global-batch mean loss={float(loss) / max(float(count), 1):.4f} "
         f"over {int(count)} utts"
     )
-    print("done — both paths ran over the", mesh.shape, "mesh")
+
+    # ── 3. chunked streaming x DP (corpora larger than aggregate HBM) ──
+    # host gathers G-batch chunks off the (memmap-able) corpus, uploads
+    # them pre-sharded over 'data', device scans each chunk as ONE dispatch
+    from dfac_tpu.io.prefetch import prefetched
+    from dfac_tpu.train.chunked import stream_chunks
+    from dfac_tpu.train.loop import make_dp_chunk_scan
+
+    chunk_scan = make_dp_chunk_scan(
+        dp_model, tx, mesh, swap_tf=True, label_smoothing=0.0, augment_fn=None
+    )
+    order = np.random.default_rng(2).permutation(64)
+    chunks = stream_chunks(
+        feats, (labels,), order, batch_size=16, chunk_batches=2, mesh=mesh
+    )
+    for ci, full, tail in prefetched(chunks, depth=1):
+        state, loss_sum, count = chunk_scan(state, *full)
+        print(f"chunk {ci}: {int(count)} utts in one dispatch, "
+              f"mean loss={float(loss_sum) / float(count):.4f}")
+        assert tail is None  # 64 rows / 16 = no partial batch
+    print("done — all three paths ran over the", mesh.shape, "mesh")
 
 
 if __name__ == "__main__":
