@@ -76,19 +76,24 @@ def main(argv=None):
         from dfac_tpu.parallel.mesh import make_mesh
         from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
 
+        from dfac_tpu.parallel.mesh import batch_sharding
+
         mesh = make_mesh(n_data=args.data_parallel)
         scorer = make_sharded_hybrid_scorer(mesh)
         folded_sup, folded_cae = fold_cnn2d(cnn_vars), fold_cae(cae_vars)
         mean = jnp.asarray(normalizer.mean)
         std = jnp.asarray(normalizer.std)
+        shard = batch_sharding(mesh)
         sup_chunks, mse_chunks, masks = [], [], []
         for batch in batch_iterator(ds, args.batch_size):
             # f32 upload, NOT a host bf16 cast: the one feats array feeds
             # BOTH legs, and the CAE leg's MSE target is formed in f32
-            # from the raw input — pre-quantizing would shift its scores
+            # from the raw input — pre-quantizing would shift its scores.
+            # SHARDED put: slices land on their chips directly instead of
+            # committing to device 0 and resharding over ICI per batch
             s, m = scorer(
                 folded_sup, folded_cae, mean, std,
-                jax.device_put(np.ascontiguousarray(batch.features)),
+                jax.device_put(np.ascontiguousarray(batch.features), shard),
             )
             sup_chunks.append(s)
             mse_chunks.append(m)

@@ -5,7 +5,11 @@ the 'data' mesh axis, each shard runs the full model locally, BatchNorm
 batch statistics sync with ``lax.pmean`` (via ``axis_name='data'`` in
 :class:`dfac_tpu.models.common.TorchBatchNorm`), and gradients/losses are
 ``psum``'d over ICI before the (replicated) optimizer update. Numerically
-equivalent to single-device training on the concatenated batch.
+equivalent to single-device training on the concatenated batch when
+dropout and augmentation are off (test-enforced); with them on, each
+shard deliberately draws independent masks (the shard index is folded
+into the keys below), so losses match single-device runs in expectation
+but not bit-for-bit.
 """
 
 from __future__ import annotations

@@ -29,10 +29,15 @@ def make_mesh(
 ) -> Mesh:
     """Build a ('data', 'model') mesh. Defaults to all devices on 'data'."""
     devices = devices if devices is not None else jax.devices()
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None:
         n_data = len(devices) // n_model
-    if n_data * n_model > len(devices):
-        raise ValueError(f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    if n_data < 1 or n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {max(n_data, 1) * n_model} devices, "
+            f"only {len(devices)} available"
+        )
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 

@@ -47,6 +47,50 @@ def _fast_score_waves(folded, waves, cfg, frontend, apply_sigmoid, compute_dtype
     )
 
 
+def _sharded_batch_scorer(score_batch, mesh: Mesh, axis_name: str, n_consts: int):
+    """shard_map a per-batch scorer ``(consts..., batch) -> (rows,)`` —
+    consts replicated, the batch (last arg) and output sharded over
+    ``axis_name``. The one copy of the per-batch shard plumbing."""
+    return jax.jit(
+        shard_map(
+            score_batch,
+            mesh=mesh,
+            in_specs=(P(),) * n_consts + (P(axis_name),),
+            out_specs=P(axis_name),
+        )
+    )
+
+
+def _sharded_corpus_scorer(score_batch, mesh: Mesh, axis_name: str, n_consts: int):
+    """Whole-corpus ONE-dispatch form of :func:`_sharded_batch_scorer`:
+    the last arg is pre-batched ``(n_batches, B, ...)``; each shard runs a
+    ``lax.scan`` over its slice of every batch. Returns flat corpus-order
+    scores."""
+
+    def per_shard(*args):
+        *consts, corpus3d = args
+
+        def body(_, batch):
+            return None, score_batch(*consts, batch)
+
+        _, scores = jax.lax.scan(body, None, corpus3d)
+        return scores  # (n_batches, B/shards)
+
+    sharded = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(),) * n_consts + (P(None, axis_name),),
+            out_specs=P(None, axis_name),
+        )
+    )
+
+    def score(*args):
+        return sharded(*args).reshape(-1)
+
+    return score
+
+
 def make_sharded_fast_scorer(
     mesh: Mesh,
     cfg: LFCCConfig = LFCCConfig(),
@@ -63,17 +107,10 @@ def make_sharded_fast_scorer(
     divide by the mesh's ``axis_name`` size.
     """
 
-    def per_shard(folded, waves):
+    def score_batch(folded, waves):
         return _fast_score_waves(folded, waves, cfg, frontend, apply_sigmoid, compute_dtype)
 
-    return jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(axis_name)),
-            out_specs=P(axis_name),
-        )
-    )
+    return _sharded_batch_scorer(score_batch, mesh, axis_name, n_consts=1)
 
 
 def make_sharded_fast_corpus_scorer(
@@ -92,40 +129,23 @@ def make_sharded_fast_corpus_scorer(
     scores in corpus order.
     """
 
-    def per_shard(folded, corpus3d):
-        def body(_, waves):
-            return None, _fast_score_waves(
-                folded, waves, cfg, frontend, apply_sigmoid, compute_dtype
-            )
+    def score_batch(folded, waves):
+        return _fast_score_waves(folded, waves, cfg, frontend, apply_sigmoid, compute_dtype)
 
-        _, scores = jax.lax.scan(body, None, corpus3d)
-        return scores  # (n_batches, B/shards)
-
-    sharded = jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(None, axis_name)),
-            out_specs=P(None, axis_name),
-        )
-    )
-
-    def score(folded, corpus3d):
-        return sharded(folded, corpus3d).reshape(-1)
-
-    return score
+    return _sharded_corpus_scorer(score_batch, mesh, axis_name, n_consts=1)
 
 
 def _score_waves(model, variables, waves, cfg, frontend, apply_sigmoid):
     """One batch of raw waveforms -> scores (shared by the per-batch and
     whole-corpus sharded scorers)."""
     if frontend == "gemm":
-        from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features
+        from dfac_tpu.ops.pallas.gemm_frontend import gemm_lfcc_features_tf
 
-        feats = gemm_lfcc_features(waves, cfg)
+        # natural (B, T, 180) orientation — the model wants exactly this,
+        # so no transpose at all on the gemm route
+        x = gemm_lfcc_features_tf(waves, cfg)
     else:
-        feats = lfcc_features(waves, cfg, use_pallas=False)
-    x = jnp.transpose(feats, (0, 2, 1))
+        x = jnp.transpose(lfcc_features(waves, cfg, use_pallas=False), (0, 2, 1))
     out = model.apply(variables, x)
     logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
     return jax.nn.sigmoid(logits) if apply_sigmoid else logits
@@ -145,17 +165,10 @@ def make_sharded_e2e_scorer(
     composition, runs anywhere). B must divide by the mesh's data axis.
     """
 
-    def per_shard(variables, waves):
+    def score_batch(variables, waves):
         return _score_waves(model, variables, waves, cfg, frontend, apply_sigmoid)
 
-    return jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(axis_name)),
-            out_specs=P(axis_name),
-        )
-    )
+    return _sharded_batch_scorer(score_batch, mesh, axis_name, n_consts=1)
 
 
 def make_sharded_corpus_scorer(
@@ -171,35 +184,17 @@ def make_sharded_corpus_scorer(
     Input: pre-batched waveforms ``(n_batches, B, n_samples)``; each shard
     runs a ``lax.scan`` over its slice of every batch, so the entire corpus
     is a single jit program — no per-batch host dispatch — sharded over
-     ``axis_name``. Returns ``(n_batches * B,)`` scores in corpus order.
+    ``axis_name``. Returns ``(n_batches * B,)`` scores in corpus order.
     Combines the two measured wins of the single-chip bench (scan over
     batches: +6% through a remote relay) and the DP serving path (linear
     scaling over ICI; scores are embarrassingly parallel, no collectives).
     B must divide by the mesh's ``axis_name`` size.
     """
 
-    def per_shard(variables, corpus3d):
-        # corpus3d: (n_batches, B/shards, n_samples) — the batch axis is
-        # the sharded one so every scan step is a full local batch
-        def body(_, waves):
-            return None, _score_waves(model, variables, waves, cfg, frontend, apply_sigmoid)
+    def score_batch(variables, waves):
+        return _score_waves(model, variables, waves, cfg, frontend, apply_sigmoid)
 
-        _, scores = jax.lax.scan(body, None, corpus3d)
-        return scores  # (n_batches, B/shards)
-
-    sharded = jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(None, axis_name)),
-            out_specs=P(None, axis_name),
-        )
-    )
-
-    def score(variables, corpus3d):
-        return sharded(variables, corpus3d).reshape(-1)
-
-    return score
+    return _sharded_corpus_scorer(score_batch, mesh, axis_name, n_consts=1)
 
 
 def make_sharded_hybrid_scorer(
@@ -271,7 +266,12 @@ def make_sharded_cnn2d_feature_scorer(
         cnn2d_fast_scores_tf,
     )
 
-    def per_shard(folded, feats):
+    if model not in ("cnn2d", "cnn1d"):
+        # a typo must not silently fall through to the cnn2d branch and
+        # feed (K, CI, CO) cnn1d kernels to the 2-D conv path
+        raise ValueError(f"no folded sharded scorer for model {model!r} (cnn2d | cnn1d)")
+
+    def score_batch(folded, feats):
         if model == "cnn1d":
             return cnn1d_fast_scores(
                 folded, feats, swap_tf=swap_tf,
@@ -283,11 +283,4 @@ def make_sharded_cnn2d_feature_scorer(
             compute_dtype=compute_dtype,
         )
 
-    return jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(axis_name)),
-            out_specs=P(axis_name),
-        )
-    )
+    return _sharded_batch_scorer(score_batch, mesh, axis_name, n_consts=1)
