@@ -174,8 +174,17 @@ def lfcc_features_batch(
         # k, a corrupt waveform row, a kernel bug).
         try:
             first = np.asarray(one_chunk(jnp.asarray(waveforms[:batch_size])))
-        except Exception:
-            # Pallas unavailable (e.g. CPU backend): XLA composition fallback.
+        except Exception as e:  # noqa: BLE001 — warned below, never silent
+            # Pallas unavailable (e.g. CPU backend): XLA composition
+            # fallback — but LOUDLY, so a genuine first-batch failure (OOM,
+            # corrupt row, kernel bug) is not mistaken for "no Pallas"
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Pallas front-end '%s' failed on the first batch; falling "
+                "back to the ~2x slower XLA fft composition for the whole "
+                "corpus. Cause: %s: %s", method, type(e).__name__, e,
+            )
             return lfcc_features_batch(waveforms, cfg, batch_size, method="fft")
         out = [first]
         start = batch_size

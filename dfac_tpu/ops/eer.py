@@ -110,6 +110,11 @@ def eer_counts_jax(scores: jax.Array, labels: jax.Array):
     scores = scores.reshape(-1)
     labels_i = labels.reshape(-1).astype(jnp.int32)
     n = scores.shape[0]
+    if n == 0:
+        # static-shape degenerate case (host calculate_eer returns (0, 0));
+        # the curve indexing below would IndexError on a length-0 array
+        z = jnp.zeros((), jnp.int32)
+        return z, z, z, z, jnp.zeros((), scores.dtype)
 
     order = jnp.argsort(scores, stable=True)
     sorted_scores = scores[order]

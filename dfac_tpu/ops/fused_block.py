@@ -88,7 +88,7 @@ def make_block_epilogue(
     """
     if drop_thresh < 0 or drop_thresh > 255:
         raise ValueError(f"drop_thresh out of range: {drop_thresh}")
-    keep_inv = 1.0 / (1.0 - drop_thresh / 256.0) if drop_thresh > 0 else 1.0
+    keep_p = 1.0 - drop_thresh / 256.0
 
     def _pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name is not None else x
@@ -120,8 +120,13 @@ def make_block_epilogue(
         return ((a.astype(jnp.float32) + b.astype(jnp.float32)) * 0.5).astype(y.dtype)
 
     def _drop(y, bits):
-        return jnp.where(bits >= drop_thresh, y * jnp.asarray(keep_inv, y.dtype),
-                         jnp.zeros((), y.dtype))
+        # models/common.apply_byte_dropout is the canonical op (division
+        # form): reusing it keeps the fused path bit-identical to the
+        # unfused chain — y * (1/keep_p) rounds differently for ~1% of
+        # f32 inputs
+        from dfac_tpu.models.common import apply_byte_dropout
+
+        return apply_byte_dropout(y, bits, drop_thresh)
 
     @jax.custom_vjp
     def epilogue(y0, scale, bias, bits):
@@ -129,6 +134,12 @@ def make_block_epilogue(
         return out
 
     def _fwd(y0, scale, bias, bits):
+        if drop_thresh > 0 and bits is None:
+            raise ValueError(
+                "make_block_epilogue built with drop_thresh > 0 needs u8 "
+                "bits of the output shape (got None) — build a separate "
+                "epilogue with drop_thresh=0 for eval"
+            )
         mean, var = _stats(y0)
         r = jax.lax.rsqrt(var + eps)
         y = _normalize_relu(y0, scale, bias, mean, r)
@@ -148,8 +159,10 @@ def make_block_epilogue(
         # the VJP deviate ~2^-9 relative from true AD on every kept element.
         d = ct_out.astype(jnp.float32)
         if drop_thresh > 0:
-            inv_fwd = jnp.asarray(keep_inv, ct_out.dtype).astype(jnp.float32)
-            d = jnp.where(bits >= drop_thresh, d * inv_fwd, 0.0)
+            # exact adjoint of the forward's division by the dtype-rounded
+            # keep_p constant (apply_byte_dropout's form)
+            kp_fwd = jnp.asarray(keep_p, ct_out.dtype).astype(jnp.float32)
+            d = jnp.where(bits >= drop_thresh, d / kp_fwd, 0.0)
         # Pool backward: each input row receives half its output row's
         # cotangent; the dropped odd row (floor pooling) receives zero.
         if pool:
@@ -185,6 +198,11 @@ def make_block_epilogue(
         # Cotangents of the returned (mean, biased var): zero in normal
         # training, included for correctness. d mean/d y0 = 1/n;
         # d var/d y0 = 2 (y0 - mean)/n (the clamp at var=0 is measure-zero).
+        if axis_name is not None:
+            # mean/var are pmean'd (replicated) outputs — like s1/s2 above,
+            # shard_map's transpose does not auto-psum custom_vjp cotangents
+            ct_mean = jax.lax.psum(ct_mean, axis_name)
+            ct_var = jax.lax.psum(ct_var, axis_name)
         dy0 = dy0 + (ct_mean - 2.0 * mean * ct_var) / n + xf * (2.0 * ct_var / n)
         dy0 = dy0.astype(y0.dtype)
 

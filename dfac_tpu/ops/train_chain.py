@@ -160,7 +160,9 @@ def cnn2d_train_forward(
 
 def cnn2d_train_backward(params, aux, x, labels, weights, *,
                          dropout_rate=0.2, label_smoothing=0.0,
-                         compute_dtype=None, eps=1e-5):
+                         compute_dtype=None):
+    # (x is unused — every block input is stored in aux's residuals — but
+    # kept in the signature so forward/backward call sites stay symmetric)
     """Hand-written gradient of :func:`cnn2d_train_forward` w.r.t. params.
 
     Derivation per block (TorchBatchNorm backward, biased variance):
@@ -190,7 +192,9 @@ def cnn2d_train_backward(params, aux, x, labels, weights, *,
     dl = dlogits.astype(cdt)[:, None]                      # (B, 1)
     dWc = jax.lax.dot_general(emb, dl, (((0,), (0,)), ((), ())),
                               precision=precision).astype(jnp.float32)
-    dbc = jnp.sum(dlogits).reshape(1)
+    # sum in the compute dtype exactly as AD does (the astype transpose of
+    # logits' f32 cast lands BEFORE the bias-broadcast adjoint)
+    dbc = jnp.sum(dl).astype(jnp.float32).reshape(1)
     demb = jax.lax.dot_general(
         dl, d["kernel"].astype(cdt), (((1,), (1,)), ((), ())),
         precision=precision,

@@ -196,3 +196,16 @@ def test_eer_counts_masked_u64_exact_large_split():
     ref_eer, ref_thr = calculate_eer(scores, labels)
     np.testing.assert_allclose(got, ref_eer, atol=1e-12)
     np.testing.assert_allclose(float(thr), ref_thr, rtol=1e-6)
+
+
+def test_eer_jax_empty_input_matches_host():
+    """Degenerate EMPTY split: host calculate_eer returns (0, 0); the
+    device path must not IndexError on the length-0 curve arrays."""
+    import jax.numpy as jnp
+
+    from dfac_tpu.ops.eer import calculate_eer, eer_jax
+
+    host = calculate_eer(np.zeros((0,), np.float32), np.zeros((0,), np.int32))
+    dev = eer_jax(jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32))
+    assert host == (0.0, 0.0)
+    assert (float(dev[0]), float(dev[1])) == (0.0, 0.0)
