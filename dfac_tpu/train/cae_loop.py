@@ -570,6 +570,7 @@ class CAETrainer:
         from dfac_tpu.data.pipeline import num_batches
 
         epoch_scan = None
+        chunk_scan = None  # fit-local: closes over this fit's mean/std
         feats_resident = None
         resident = cfg.device_resident and cfg.data_parallel <= 1
         if cfg.device_resident and not resident:
@@ -627,16 +628,21 @@ class CAETrainer:
                     # chunked streaming (corpora larger than HBM): G-batch
                     # scan dispatches, chunk upload overlapped; same
                     # batches/PRNG chain as the host loop below
-                    from dfac_tpu.io.prefetch import prefetched
-                    from dfac_tpu.train.chunked import check_dp_tail, stream_chunks
+                    from dfac_tpu.train.chunked import (
+                        check_dp_tail,
+                        chunk_scan_over,
+                        stream_chunks,
+                    )
 
                     n_ex = len(bona_train)
                     check_dp_tail(n_ex, cfg.batch_size, dp, "CAE training")
-                    if getattr(self, "_chunk_scan", None) is None:
-                        self._chunk_scan = (
-                            make_cae_dp_chunk_scan(self.model, self.tx, mean, std, self.mesh)
-                            if dp > 1
-                            else make_cae_chunk_scan(self.model, self.tx, mean, std)
+                    if chunk_scan is None:
+                        # fit-LOCAL (like train_step): the scan closes over
+                        # THIS fit's normalizer mean/std — caching it on
+                        # self would silently train a second fit() with the
+                        # first corpus's statistics
+                        chunk_scan = chunk_scan_over(
+                            train_step, append_ones=True, track_count=True
                         )
                     order = np.arange(n_ex)
                     np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
@@ -645,13 +651,15 @@ class CAETrainer:
                         cfg.resident_chunk_batches,
                         mesh=self.mesh if dp > 1 else None,
                     )
-                    for ci, full_b, tail_b in prefetched(chunks, depth=1):
+                    batches_done = 0  # the UI's unit is BATCHES, not chunks
+                    for ci, full_b, tail_b in chunks:
                         nr = 0
                         if full_b is not None:
                             (feats_c,) = full_b
-                            self.state, loss_sum, n = self._chunk_scan(self.state, feats_c)
+                            self.state, loss_sum, n = chunk_scan(self.state, feats_c)
                             total, count = total + loss_sum, count + n
-                            nr = feats_c.shape[0] * feats_c.shape[1]
+                            nr = feats_c.shape[1]
+                            batches_done += feats_c.shape[0]
                         if tail_b is not None:
                             (feats_t,) = tail_b
                             self.state, loss_sum, n = train_step(
@@ -659,10 +667,11 @@ class CAETrainer:
                                 jnp.ones((feats_t.shape[0],), jnp.float32),
                             )
                             total, count = total + loss_sum, count + n
-                            nr += feats_t.shape[0]
+                            nr = feats_t.shape[0]
+                            batches_done += 1
                         if live_ui and float(count):
                             batch_ctx.update_batch(
-                                BatchMetrics(ci, float(total) / float(count), nr)
+                                BatchMetrics(batches_done - 1, float(total) / float(count), nr)
                             )
                 else:
                     from dfac_tpu.io.prefetch import prefetched

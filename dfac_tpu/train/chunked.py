@@ -50,19 +50,44 @@ def stream_chunks(
     chunk_batches: int,
     mesh=None,
 ):
-    """Yield ``(ci, full, tail)`` over an epoch's row ``order``.
+    """Yield ``(ci, full, tail)`` device chunks over an epoch's ``order``.
 
-    ``full`` is ``(feats (g, B, ...), *rows (g, B))`` device arrays (or
-    None when the final chunk holds only the tail); ``tail`` is
-    ``(feats (t, ...), *rows (t,))`` for the epoch's one partial batch (or
-    None). Feature rows are gathered with the native threaded kernel
-    (memmap page-in parallelizes; numpy fallback inside). Wrap the
-    returned generator in :func:`dfac_tpu.io.prefetch.prefetched` so chunk
-    k+1 assembles and uploads while the device scans chunk k.
+    ``full`` is ``(feats (g, B, ...), *rows (g, B))`` (None when the final
+    chunk holds only the tail); ``tail`` is ``(feats (t, ...), *rows (t,))``
+    for the epoch's one partial batch (or None). Feature rows are gathered
+    with the native threaded kernel (memmap page-in parallelizes; numpy
+    fallback inside) in :func:`host_chunks` — run THAT stage in
+    :func:`dfac_tpu.io.prefetch.prefetched` — while the ``device_put``
+    happens at the CONSUMER (this generator composes the two), so HBM
+    holds at most TWO chunks: the one the device is scanning and the one
+    uploading behind it. (A producer-side put would add a third: the
+    prefetch queue's chunk.)
     """
-    from dfac_tpu.io.fastcast import gather_f32
+    from dfac_tpu.io.prefetch import prefetched
 
     chunk_sh, tail_sh = chunk_shardings(mesh)
+    host = prefetched(
+        host_chunks(feats_src, row_arrays, order, batch_size, chunk_batches),
+        depth=1,
+    )
+    for ci, full, tail in host:
+        yield (
+            ci,
+            None if full is None else tuple(jax.device_put(a, chunk_sh) for a in full),
+            None if tail is None else tuple(jax.device_put(a, tail_sh) for a in tail),
+        )
+
+
+def host_chunks(
+    feats_src: np.ndarray,
+    row_arrays: Sequence[np.ndarray],
+    order: np.ndarray,
+    batch_size: int,
+    chunk_batches: int,
+):
+    """The host stage of :func:`stream_chunks`: gather + reshape only."""
+    from dfac_tpu.io.fastcast import gather_f32
+
     B, G, n = batch_size, chunk_batches, len(order)
     rows_per = G * B
     for ci, c0 in enumerate(range(0, n, rows_per)):
@@ -72,19 +97,13 @@ def stream_chunks(
         if g:
             fr = rows[: g * B]
             f = gather_f32(feats_src, fr)
-            full = tuple(
-                jax.device_put(a, chunk_sh)
-                for a in (
-                    f.reshape((g, B) + f.shape[1:]),
-                    *(r[fr].reshape(g, B) for r in row_arrays),
-                )
+            full = (
+                f.reshape((g, B) + f.shape[1:]),
+                *(r[fr].reshape(g, B) for r in row_arrays),
             )
         trows = rows[g * B :]
         if len(trows):  # only ever the epoch's final partial batch
-            tail = tuple(
-                jax.device_put(a, tail_sh)
-                for a in (gather_f32(feats_src, trows), *(r[trows] for r in row_arrays))
-            )
+            tail = (gather_f32(feats_src, trows), *(r[trows] for r in row_arrays))
         yield ci, full, tail
 
 

@@ -531,19 +531,19 @@ class DetectorTrainer:
                 # chunked streaming (corpora larger than HBM): G-batch scan
                 # dispatches, chunk upload overlapped in a prefetch thread;
                 # same weighted sample sequence as the host loop below
-                from dfac_tpu.io.prefetch import prefetched
-                from dfac_tpu.train.chunked import check_dp_tail, stream_chunks
+                from dfac_tpu.train.chunked import (
+                    check_dp_tail,
+                    chunk_scan_over,
+                    stream_chunks,
+                )
 
                 check_dp_tail(n, cfg.batch_size, dp, "detector training")
                 if chunk_scan is None:
-                    chunk_scan = (
-                        make_detector_dp_chunk_scan(
-                            self.model, self.tx, cfg, pos_weight, self.mesh
-                        )
-                        if dp > 1
-                        else make_detector_chunk_scan(
-                            self.model, self.tx, cfg, pos_weight
-                        )
+                    # scan over the SAME fit-local step the host loop
+                    # dispatches (dp>1: the ones-appending DP wrapper) —
+                    # one construction, no divergence risk
+                    chunk_scan = chunk_scan_over(
+                        train_step, append_ones=False, track_count=False
                     )
                 chunks = stream_chunks(
                     train_ds.features, (lengths, labels.astype(np.float32)),
@@ -551,7 +551,7 @@ class DetectorTrainer:
                     mesh=self.mesh if dp > 1 else None,
                 )
                 total_loss, n_batches = jnp.zeros(()), 0
-                for ci, full_b, tail_b in prefetched(chunks, depth=1):
+                for ci, full_b, tail_b in chunks:
                     if full_b is not None:
                         self.state, loss_sum = chunk_scan(self.state, *full_b)
                         total_loss = total_loss + loss_sum  # lazy device accumulation

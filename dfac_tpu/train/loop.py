@@ -595,8 +595,7 @@ class Trainer:
         (fastest, needs it to fit in HBM); the plain host loop dispatches
         per batch. Reference analogue: DataLoader worker streaming,
         ``/root/reference/src/train.py:31-62``."""
-        from dfac_tpu.io.prefetch import prefetched
-        from dfac_tpu.train.chunked import check_dp_tail, stream_chunks
+        from dfac_tpu.train.chunked import check_dp_tail, chunk_scan_over, stream_chunks
 
         cfg = self.cfg
         n, dp = len(ds), cfg.data_parallel
@@ -607,31 +606,30 @@ class Trainer:
             ds.labels if ds.labels is not None else np.zeros(n), np.float32
         )
         if self._chunk_scan is None:
-            if dp > 1:
-                self._chunk_scan = make_dp_chunk_scan(
-                    self.model, self.tx, self.mesh, cfg.swap_tf,
-                    cfg.label_smoothing, self.augment_fn,
-                )
-            else:
-                self._chunk_scan = make_chunk_scan(
-                    self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
-                    self.augment_fn,
-                )
+            # scan over the SAME step Trainer dispatches per batch —
+            # self._train_step is already the shard_map DP step (dp>1) or
+            # make_train_step; one construction, no divergence risk
+            self._chunk_scan = chunk_scan_over(
+                self._train_step, append_ones=True, track_count=True
+            )
         chunks = stream_chunks(
             ds.features, (labels_all,), order, cfg.batch_size,
             cfg.resident_chunk_batches, mesh=self.mesh if dp > 1 else None,
         )
-        for ci, full, tail in prefetched(chunks, depth=1):
+        batches_done = 0  # the UI's progress unit is BATCHES, not chunks
+        for ci, full, tail in chunks:
             if full is not None:
                 self.state, loss_sum, count = self._chunk_scan(self.state, *full)
-                after_step(ci, loss_sum, count)
+                batches_done += full[0].shape[0]
+                after_step(batches_done - 1, loss_sum, count)
             if tail is not None:
                 feats_t, labels_t = tail
                 self.state, loss_sum, count = self._train_step(
                     self.state, feats_t, labels_t,
                     jnp.ones((feats_t.shape[0],), jnp.float32),
                 )
-                after_step(ci, loss_sum, count)
+                batches_done += 1
+                after_step(batches_done - 1, loss_sum, count)
 
     def restore(self, ckpt_path: str) -> dict:
         """Resume from a checkpoint: model variables, optimizer state,
@@ -841,7 +839,16 @@ class Trainer:
         """Format-dispatched checkpoint write (pickle or orbax per
         ``cfg.checkpoint_format``) with the ``_trainer_state`` embedding —
         the ONE place the checkpoint payload layout lives (the fused-fit
-        CLI writes best/last through this too)."""
+        CLI writes best/last through this too).
+
+        When ``variables`` is supplied (a best-epoch snapshot written
+        after training moved on), the optimizer and scheduler states are
+        OMITTED: the trainer only holds their last-epoch values, and
+        pairing best-epoch params with last-epoch Adam moments/LR counters
+        would silently skew a resumed run. Resume from ``*_last.ckpt``
+        (full state, in sync) for training; ``*_best.ckpt`` is the
+        inference artifact."""
+        snapshot = variables is not None
         config = dict(config_snapshot or dataclasses.asdict(self.cfg))
         if trainer_state is not None:
             config["_trainer_state"] = trainer_state
@@ -852,11 +859,14 @@ class Trainer:
         )
         save(
             path,
-            variables if variables is not None else self.variables(),
-            opt_state=self.state.opt_state,
+            variables if snapshot else self.variables(),
+            opt_state=None if snapshot else self.state.opt_state,
             epoch=epoch,
             config=config,
-            scheduler_state=self.scheduler.state_dict() if self.scheduler else None,
+            scheduler_state=(
+                None if snapshot or self.scheduler is None
+                else self.scheduler.state_dict()
+            ),
         )
 
     def _save(self, path: str, epoch: int, config_snapshot: dict | None, trainer_state: dict | None = None):

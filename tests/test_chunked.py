@@ -269,3 +269,31 @@ def test_config_validation():
     TrainConfig(resident_chunk_batches=2, data_parallel=2, batch_size=8)
     with pytest.raises(ValueError, match=">= 0"):
         TrainConfig(resident_chunk_batches=-1)
+
+
+def test_cae_chunked_second_fit_uses_new_normalizer():
+    """Regression: the chunk scan must be fit-local — a second fit() on the
+    same trainer rebuilds the normalizer, and a cached scan closing over
+    the FIRST fit's mean/std would silently train with wrong statistics."""
+    from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
+
+    ds_a, dev = _ds(20, n=24), _ds(21, 16)
+    ds_b = _ds(22, n=24)
+    ds_b = dataclasses.replace(ds_b, features=ds_b.features * 5.0 + 3.0)
+
+    cfg = CAEConfig(batch_size=8, epochs=1, base_channels=4, lr=1e-4,
+                    resident_chunk_batches=2)
+    reused = CAETrainer(cfg)
+    reused.fit(ds_a, dev)
+    r_reused = reused.fit(ds_b, dev)
+
+    fresh = CAETrainer(cfg)
+    r_fresh = fresh.fit(ds_b, dev)
+
+    # same seed + same corpus -> identical run IF the second fit's chunk
+    # scan picked up ds_b's normalizer (params differ: reused continued
+    # from trained weights, so compare the normalizers and val loss path)
+    np.testing.assert_allclose(reused.normalizer.mean, fresh.normalizer.mean)
+    np.testing.assert_allclose(reused.normalizer.std, fresh.normalizer.std)
+    assert np.isfinite(r_reused["history"][0].train_loss)
+    assert np.isfinite(r_fresh["history"][0].train_loss)
