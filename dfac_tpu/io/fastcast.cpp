@@ -10,9 +10,13 @@
 // faults then also parallelize across threads, overlapping disk read
 // with conversion).
 //
-// Built lazily by dfac_tpu/io/fastcast.py with
-//   g++ -O3 -march=native -shared -fPIC -pthread
-// and loaded through ctypes; every entry point is plain C ABI.
+// Built lazily by dfac_tpu/io/fastcast.py with portable flags
+//   g++ -O3 -shared -fPIC -pthread
+// (deliberately NO -march=native: the binary is cached and may outlive
+// the build host — see fastcast.py's flag policy; DFAC_TPU_NATIVE_CFLAGS
+// opts in to stronger flags) and loaded through ctypes; every entry
+// point is plain C ABI. Callers validate gather indices — these kernels
+// do no bounds checking.
 
 #include <atomic>
 #include <cstdint>

@@ -162,11 +162,33 @@ def native_available() -> bool:
 def default_threads() -> int:
     env = os.environ.get("DFAC_TPU_INGEST_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "DFAC_TPU_INGEST_THREADS=%r is not an integer; using the "
+                "default thread count", env,
+            )
     # a fixed pool of 8 beats min(8, cpu_count): the cast is memory/page-
     # fault bound, so extra threads hide stalls even under a 1-core cgroup
     # quota (measured 4.5 vs 3.8 GB/s on the 1-core CI host; numpy: 3.0)
     return 8
+
+
+def _checked_idx(idx, n_rows: int) -> np.ndarray:
+    """Validate gather indices before handing raw pointers to C — the
+    native kernel has no bounds checks (numpy's fancy-index would raise;
+    the kernel would read out of bounds)."""
+    idx64 = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+    if len(idx64) and (idx64.min() < 0 or idx64.max() >= n_rows):
+        bad = idx64[(idx64 < 0) | (idx64 >= n_rows)][0]
+        raise IndexError(
+            f"gather index {bad} out of bounds for {n_rows} rows "
+            "(negative indices are not supported on the native path)"
+        )
+    return idx64
 
 
 def cast_bf16(arr: np.ndarray, threads: int | None = None) -> np.ndarray:
@@ -209,7 +231,7 @@ def gather_cast_bf16(
         or src.ndim < 1
     ):
         return np.asarray(src[np.asarray(idx)]).astype(ml_dtypes.bfloat16)
-    idx64 = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+    idx64 = _checked_idx(idx, len(src))
     row_elems = int(np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else 1
     out = np.empty((len(idx64),) + src.shape[1:], dtype=ml_dtypes.bfloat16)
     lib.dfac_gather_cast_f32_bf16(
@@ -228,7 +250,7 @@ def gather_f32(
     lib = load()
     if lib is None or src.dtype != np.float32 or not src.flags.c_contiguous:
         return np.asarray(src[np.asarray(idx)], dtype=np.float32)
-    idx64 = np.ascontiguousarray(np.asarray(idx, dtype=np.int64))
+    idx64 = _checked_idx(idx, len(src))
     row_elems = int(np.prod(src.shape[1:], dtype=np.int64)) if src.ndim > 1 else 1
     out = np.empty((len(idx64),) + src.shape[1:], dtype=np.float32)
     lib.dfac_gather_f32(

@@ -257,6 +257,17 @@ def align_labels(
     ``verify_uttid_alignment`` contract, reference ``src/evaluation.py:107-124``)
     any mismatch between the two uttid sets raises.
     """
+    if len(set(label_uttids)) != len(label_uttids):
+        # dict(zip(...)) below would silently keep the LAST occurrence;
+        # the reference inner-merge would instead duplicate feature rows
+        # and fail its length check — surface the corrupt labels file here
+        from collections import Counter
+
+        dup, cnt = Counter(label_uttids).most_common(1)[0]
+        raise ValueError(
+            f"labels file has duplicated uttids (e.g. {dup!r} x{cnt}) — "
+            "each uttid must carry exactly one label"
+        )
     lab_map = dict(zip(label_uttids, labels.tolist()))
     missing = [u for u in feat_uttids if u not in lab_map]
     if strict and (missing or len(lab_map) != len(feat_uttids)):

@@ -26,6 +26,18 @@ from flax import linen as nn
 from dfac_tpu.models.common import Conv, ConvTranspose2dTorch, TorchBatchNorm, avg_pool
 
 
+def decoder_output_paddings(t_sizes, f_sizes):
+    """Per-stage ConvTranspose ``output_padding`` from the encoder's
+    pre-pool shape trace (pre - 2*post per stage). The ONE place the
+    emit-then-pad rule lives: F uses the trace on every stage; T's OUTPUT
+    stage stays 0 because the reference emits T=320 and zero-pads back to
+    321 (``src/model_cae.py:113-121``) — the folded serving chain
+    (``models/fast_infer.cae_fast_mse``) must replay exactly this rule."""
+    f_pads = [f_sizes[k] - 2 * (f_sizes[k] // 2) for k in (3, 2, 1, 0)]
+    t_pads = [t_sizes[k] - 2 * (t_sizes[k] // 2) for k in (3, 2, 1)] + [0]
+    return t_pads, f_pads
+
+
 class ConvAutoencoder(nn.Module):
     base_channels: int = 32
     axis_name: str | None = None
@@ -70,8 +82,7 @@ class ConvAutoencoder(nn.Module):
         # conv output. With the inner stages traced, the residual deficit
         # is at most the parity of T for every geometry (it was up to 15
         # frames of forced zeros before, e.g. 16 of 30 at T=30).
-        f_pads = [f_sizes[k] - 2 * (f_sizes[k] // 2) for k in (3, 2, 1, 0)]
-        t_pads = [t_sizes[k] - 2 * (t_sizes[k] // 2) for k in (3, 2, 1)] + [0]
+        t_pads, f_pads = decoder_output_paddings(t_sizes, f_sizes)
         dec_specs = [
             (bc * 4, (t_pads[0], f_pads[0]), True),
             (bc * 2, (t_pads[1], f_pads[1]), True),

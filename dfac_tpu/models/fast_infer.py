@@ -62,21 +62,31 @@ def _depthwise_avg_pool(h: jax.Array, window: tuple[int, int]) -> jax.Array:
     ).astype(h.dtype)
 
 
+def _fold_bn(kernel, bias, bn_params, bn_stats, eps):
+    """``W' = W * inv`` and ``b' = (b - mean) * inv + shift`` with
+    ``inv = scale * rsqrt(var + eps)`` — the ONE copy of the eval-mode
+    BatchNorm folding algebra (the scale broadcasts on the kernel's last
+    axis, so it is rank-agnostic: 1-D, 2-D and transposed kernels alike)."""
+    k = jnp.asarray(kernel, jnp.float32)
+    b = jnp.asarray(bias, jnp.float32)
+    inv = jnp.asarray(bn_params["scale"], jnp.float32) * jax.lax.rsqrt(
+        jnp.asarray(bn_stats["var"], jnp.float32) + eps
+    )
+    shift = jnp.asarray(bn_params["bias"], jnp.float32)
+    mean = jnp.asarray(bn_stats["mean"], jnp.float32)
+    return k * inv, (b - mean) * inv + shift
+
+
 def fold_cnn2d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
     """Fold BN stats into conv kernels/biases; returns a compact param dict."""
     p = variables["params"]
     bs = variables["batch_stats"]
     folded = {}
     for i in range(1, num_blocks + 1):
-        k = jnp.asarray(p[f"conv{i}"]["conv"]["kernel"], jnp.float32)
-        b = jnp.asarray(p[f"conv{i}"]["conv"]["bias"], jnp.float32)
-        scale = jnp.asarray(p[f"bn{i}"]["scale"], jnp.float32)
-        shift = jnp.asarray(p[f"bn{i}"]["bias"], jnp.float32)
-        mean = jnp.asarray(bs[f"bn{i}"]["mean"], jnp.float32)
-        var = jnp.asarray(bs[f"bn{i}"]["var"], jnp.float32)
-        inv = scale * jax.lax.rsqrt(var + eps)
-        folded[f"w{i}"] = k * inv
-        folded[f"b{i}"] = (b - mean) * inv + shift
+        folded[f"w{i}"], folded[f"b{i}"] = _fold_bn(
+            p[f"conv{i}"]["conv"]["kernel"], p[f"conv{i}"]["conv"]["bias"],
+            p[f"bn{i}"], bs[f"bn{i}"], eps,
+        )
     folded["w_cls"] = jnp.asarray(p["classifier"]["dense"]["kernel"], jnp.float32)
     folded["b_cls"] = jnp.asarray(p["classifier"]["dense"]["bias"], jnp.float32)
     return folded
@@ -179,6 +189,7 @@ def fold_cnn1d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
     algebra is rank-agnostic (the scale broadcasts on the kernel's last
     axis), so this is :func:`fold_cnn2d` applied to (K, CI, CO) kernels."""
     return fold_cnn2d(variables, num_blocks=num_blocks, eps=eps)
+@functools.partial(jax.jit, static_argnames=("swap_tf", "apply_sigmoid", "compute_dtype"))
 def cnn1d_fast_scores(
     folded: dict,
     feats: jax.Array,
@@ -225,29 +236,19 @@ def fold_cae(variables: dict, eps: float = 1e-5) -> dict:
     bs = variables["batch_stats"]
     folded = {}
     for i in range(1, 5):
-        k = jnp.asarray(p[f"enc_conv{i}"]["conv"]["kernel"], jnp.float32)
-        b = jnp.asarray(p[f"enc_conv{i}"]["conv"]["bias"], jnp.float32)
-        scale = jnp.asarray(p[f"enc_bn{i}"]["scale"], jnp.float32)
-        shift = jnp.asarray(p[f"enc_bn{i}"]["bias"], jnp.float32)
-        mean = jnp.asarray(bs[f"enc_bn{i}"]["mean"], jnp.float32)
-        var = jnp.asarray(bs[f"enc_bn{i}"]["var"], jnp.float32)
-        inv = scale * jax.lax.rsqrt(var + eps)
-        folded[f"enc_w{i}"] = k * inv
-        folded[f"enc_b{i}"] = (b - mean) * inv + shift
+        folded[f"enc_w{i}"], folded[f"enc_b{i}"] = _fold_bn(
+            p[f"enc_conv{i}"]["conv"]["kernel"], p[f"enc_conv{i}"]["conv"]["bias"],
+            p[f"enc_bn{i}"], bs[f"enc_bn{i}"], eps,
+        )
     for i in range(1, 5):
-        k = jnp.asarray(p[f"dec_convt{i}"]["convt"]["kernel"], jnp.float32)
-        b = jnp.asarray(p[f"dec_convt{i}"]["bias"], jnp.float32)
         if i < 4:
-            scale = jnp.asarray(p[f"dec_bn{i}"]["scale"], jnp.float32)
-            shift = jnp.asarray(p[f"dec_bn{i}"]["bias"], jnp.float32)
-            mean = jnp.asarray(bs[f"dec_bn{i}"]["mean"], jnp.float32)
-            var = jnp.asarray(bs[f"dec_bn{i}"]["var"], jnp.float32)
-            inv = scale * jax.lax.rsqrt(var + eps)
-            folded[f"dec_w{i}"] = k * inv
-            folded[f"dec_b{i}"] = (b - mean) * inv + shift
+            folded[f"dec_w{i}"], folded[f"dec_b{i}"] = _fold_bn(
+                p[f"dec_convt{i}"]["convt"]["kernel"], p[f"dec_convt{i}"]["bias"],
+                p[f"dec_bn{i}"], bs[f"dec_bn{i}"], eps,
+            )
         else:
-            folded[f"dec_w{i}"] = k
-            folded[f"dec_b{i}"] = b
+            folded[f"dec_w{i}"] = jnp.asarray(p[f"dec_convt{i}"]["convt"]["kernel"], jnp.float32)
+            folded[f"dec_b{i}"] = jnp.asarray(p[f"dec_convt{i}"]["bias"], jnp.float32)
     return folded
 
 
@@ -270,6 +271,13 @@ def cae_fast_mse(
     """
     dt = compute_dtype
     x = jnp.swapaxes(feats, 1, 2) if swap_tf else feats  # (B, T, F)
+    if x.shape[1] < 16 or x.shape[2] < 16:
+        # same contract as ConvAutoencoder.__call__: the 4-stage floor-pool
+        # chain needs a nonempty bottleneck
+        raise ValueError(
+            "cae_fast_mse needs T >= 16 and F >= 16 so the 4-stage "
+            f"floor-pool chain keeps a nonempty bottleneck; got {x.shape[1:]}."
+        )
     x = (x.astype(jnp.float32) - mean) / std
     t_orig = x.shape[1]
     h = x[..., None].astype(dt)
@@ -286,10 +294,11 @@ def cae_fast_mse(
         f_sizes.append(h.shape[2])
         h = _depthwise_avg_pool(h, (2, 2))
 
-    # decoder output_padding from the encoder shape trace — identical rule
-    # to models/cae.py (T's output stage stays 0: emit-then-pad semantics)
-    f_pads = [f_sizes[k] - 2 * (f_sizes[k] // 2) for k in (3, 2, 1, 0)]
-    t_pads = [t_sizes[k] - 2 * (t_sizes[k] // 2) for k in (3, 2, 1)] + [0]
+    # decoder output_padding from the encoder shape trace — THE rule from
+    # models/cae.py (T's output stage stays 0: emit-then-pad semantics)
+    from dfac_tpu.models.cae import decoder_output_paddings
+
+    t_pads, f_pads = decoder_output_paddings(t_sizes, f_sizes)
     for i, (op_t, op_f) in enumerate(zip(t_pads, f_pads), start=1):
         h = jax.lax.conv_transpose(
             h, folded[f"dec_w{i}"].astype(dt), (2, 2), "VALID",
@@ -409,15 +418,10 @@ def fold_detector(variables: dict, eps: float = 1e-5) -> dict:
     p, bs = variables["params"], variables["batch_stats"]
     folded = {}
     for i in (1, 2, 3):
-        k = jnp.asarray(p[f"enc_conv{i}"]["conv"]["kernel"], jnp.float32)
-        b = jnp.asarray(p[f"enc_conv{i}"]["conv"]["bias"], jnp.float32)
-        scale = jnp.asarray(p[f"enc_bn{i}"]["scale"], jnp.float32)
-        shift = jnp.asarray(p[f"enc_bn{i}"]["bias"], jnp.float32)
-        mean = jnp.asarray(bs[f"enc_bn{i}"]["mean"], jnp.float32)
-        var = jnp.asarray(bs[f"enc_bn{i}"]["var"], jnp.float32)
-        inv = scale * jax.lax.rsqrt(var + eps)
-        folded[f"w{i}"] = k * inv
-        folded[f"b{i}"] = (b - mean) * inv + shift
+        folded[f"w{i}"], folded[f"b{i}"] = _fold_bn(
+            p[f"enc_conv{i}"]["conv"]["kernel"], p[f"enc_conv{i}"]["conv"]["bias"],
+            p[f"enc_bn{i}"], bs[f"enc_bn{i}"], eps,
+        )
     for j in (1, 2):
         folded[f"fc{j}_w"] = jnp.asarray(p[f"head_fc{j}"]["dense"]["kernel"], jnp.float32)
         folded[f"fc{j}_b"] = jnp.asarray(p[f"head_fc{j}"]["dense"]["bias"], jnp.float32)
@@ -467,34 +471,35 @@ def detector_scores_fast(
     ds,
     lengths: np.ndarray,
     batch_size: int = 128,
+    swap_tf: bool = True,
     apply_sigmoid: bool = False,
     compute_dtype: Any = jnp.bfloat16,
 ):
     """Score a whole dataset through the folded detector chain; (N,) f32 in
     dataset order. The fast counterpart of
-    :func:`dfac_tpu.train.detector_loop.detector_scores`: host ingest
-    (memmap pull + bf16 cast + async upload) runs in a prefetch thread,
-    per-batch results stay on device until one final fetch."""
-    from dfac_tpu.data.pipeline import pad_to_batch
-    from dfac_tpu.io.prefetch import prefetched
+    :func:`dfac_tpu.train.detector_loop.detector_scores`, routed through
+    the shared :func:`collect_masked_scores` batching/prefetch contract —
+    host ingest (memmap pull + bf16 cast + async upload) runs in the
+    prefetch thread, per-batch results stay on device until one final
+    fetch, pad rows drop via the weight mask."""
+    from dfac_tpu.train.evaluate import collect_masked_scores
 
     folded = fold_detector(variables)
-    n = len(ds)
+    lengths = np.asarray(lengths)
 
-    def produce():
-        for start in range(0, n, batch_size):
-            stop = min(start + batch_size, n)
-            feats = pad_to_batch(np.asarray(ds.features[start:stop]), batch_size)
-            lens = pad_to_batch(lengths[start:stop], batch_size, pad_value=1)
-            yield _ingest(feats, compute_dtype), jax.device_put(jnp.asarray(lens))
-
-    out = [
-        detector_fast_scores(
-            folded, feats_d, lens_d,
-            apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+    def prepare(b):
+        # pad rows (index -1) borrow row 0's length; the weight mask drops
+        # their scores before the caller sees them
+        lens = lengths[np.maximum(b.index, 0)]
+        return (
+            _ingest(b.features, compute_dtype),
+            jax.device_put(jnp.asarray(lens)),
         )
-        for feats_d, lens_d in prefetched(produce(), depth=2)
-    ]
-    if not out:
-        return np.zeros((0,), np.float32)
-    return np.asarray(jnp.concatenate(out))[:n]
+
+    return collect_masked_scores(
+        lambda fl: detector_fast_scores(
+            folded, fl[0], fl[1], swap_tf=swap_tf,
+            apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+        ),
+        ds, batch_size, prepare_batch=prepare,
+    )

@@ -161,3 +161,11 @@ class TestIngestIntegration:
         sh = list(batch_iterator(ds, 8, shuffle=True, seed=0, pad_tail=False))
         total = np.sort(np.concatenate([b.features.reshape(8, -1)[:, 0] for b in sh]))
         np.testing.assert_array_equal(total, np.sort(feats.reshape(32, -1)[:, 0]))
+
+
+def test_gather_bounds_checked(rng):
+    src = rng.normal(size=(10, 4)).astype(np.float32)
+    with pytest.raises(IndexError, match="out of bounds"):
+        fc.gather_f32(src, np.array([0, 10]))
+    with pytest.raises(IndexError, match="out of bounds"):
+        fc.gather_cast_bf16(src, np.array([-1, 2]))

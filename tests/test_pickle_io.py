@@ -142,3 +142,15 @@ def test_align_labels_nonstrict_rejects_missing():
     np.testing.assert_array_equal(out, [1, 0])
     with pytest.raises(ValueError, match="no label"):
         align_labels(["a", "x"], ["a", "b", "c"], labels, strict=False)
+
+
+def test_align_labels_rejects_duplicate_uttids():
+    import numpy as np
+    import pytest
+
+    from dfac_tpu.io.pickle_io import align_labels
+
+    with pytest.raises(ValueError, match="duplicated uttids"):
+        align_labels(
+            ["u1", "u2"], ["u1", "u1", "u2"], np.array([0, 1, 0], np.int64)
+        )
