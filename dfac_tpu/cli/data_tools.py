@@ -146,6 +146,12 @@ def main(argv=None):
     v.add_argument("features")
     v.add_argument("out_dir")
     v.add_argument("--labels", default=None)
+    v.add_argument("--filter-label", type=int, default=None, metavar="L",
+                   help="keep only rows with this label (e.g. 1 for a "
+                        "bonafide-only CAE store): filtering at conversion "
+                        "keeps the store memory-mapped end to end — "
+                        "ArrayDataset.filter_label on a memmap corpus "
+                        "materializes the subset in RAM")
 
     args = p.parse_args(argv)
     if args.cmd == "analyze-pickles":
@@ -161,6 +167,10 @@ def main(argv=None):
         from dfac_tpu.io.npy_store import save_npy_dataset
 
         ds = load_dataset(args.features, args.labels)
+        if args.filter_label is not None:
+            n_before = len(ds)
+            ds = ds.filter_label(args.filter_label)
+            print(f"label filter {args.filter_label}: kept {len(ds)}/{n_before} rows")
         save_npy_dataset(ds, args.out_dir)
         print(
             f"wrote {len(ds)} utterances "

@@ -24,17 +24,57 @@ class FeatureNormalizer:
         self.mean = None if mean is None else np.asarray(mean, np.float32)
         self.std = None if std is None else np.asarray(std, np.float32)
 
-    def fit(self, features) -> "FeatureNormalizer":
+    def fit(self, features, lengths: np.ndarray | None = None) -> "FeatureNormalizer":
         """``features``: (N, T, F) array or list of (T, F) arrays (the frames
-        of all utterances are pooled along time, exactly like torch.cat)."""
+        of all utterances are pooled along time, exactly like torch.cat).
+
+        ``lengths`` (optional, array input only): true frame counts of a
+        PADDED variable-length corpus — pad frames are excluded, matching
+        the reference's concatenation of true-length tensors
+        (``src/dataset_cae.py:120-141``).
+
+        Two-moment accumulation in float64 over bounded row slabs: no
+        whole-corpus float64 copy (a 20 GB f32 corpus would need another
+        40 GB), and memmap-backed corpora stream through slab by slab.
+        """
         if isinstance(features, (list, tuple)):
-            stacked = np.concatenate([np.asarray(f, np.float64) for f in features], axis=0)
+            slabs = (np.asarray(f).reshape(-1, np.asarray(f).shape[-1]) for f in features)
         else:
-            arr = np.asarray(features, np.float64)
-            stacked = arr.reshape(-1, arr.shape[-1])
-        self.mean = stacked.mean(axis=0).astype(np.float32)
-        # unbiased std (torch .std default), clamped like the reference
-        self.std = np.maximum(stacked.std(axis=0, ddof=1), 1e-8).astype(np.float32)
+            arr = features
+            t_dim = arr.shape[1]
+
+            def gen():
+                slab_rows = max(1, (1 << 24) // max(arr.shape[1] * arr.shape[2], 1))
+                for i in range(0, arr.shape[0], slab_rows):
+                    slab = np.asarray(arr[i : i + slab_rows])
+                    if lengths is not None:
+                        mask = (
+                            np.arange(t_dim)[None, :] < np.asarray(lengths)[i : i + slab_rows, None]
+                        )
+                        yield slab.reshape(-1, slab.shape[-1])[mask.reshape(-1)]
+                    else:
+                        yield slab.reshape(-1, slab.shape[-1])
+
+            slabs = gen()
+        f_dim = None
+        s1 = s2 = None
+        n = 0
+        for slab in slabs:
+            if f_dim is None:
+                f_dim = slab.shape[-1]
+                s1 = np.zeros(f_dim, np.float64)
+                s2 = np.zeros(f_dim, np.float64)
+            slab64 = slab.astype(np.float64)  # bounded temp (one slab)
+            s1 += slab64.sum(axis=0)
+            s2 += np.square(slab64).sum(axis=0)
+            n += slab.shape[0]
+        if not n:
+            raise ValueError("cannot fit a normalizer on zero frames")
+        mean = s1 / n
+        # unbiased variance (torch .std default), clamped like the reference
+        var = np.maximum(s2 - n * np.square(mean), 0.0) / max(n - 1, 1)
+        self.mean = mean.astype(np.float32)
+        self.std = np.maximum(np.sqrt(var), 1e-8).astype(np.float32)
         return self
 
     def transform(self, x):
@@ -75,7 +115,9 @@ def apply_utterance_norm(features: np.ndarray, scheme: str) -> np.ndarray:
 
     * ``raw``  — identity;
     * ``cmn``  — cepstral mean subtraction: x - mean_t(x) per feature row;
-    * ``cvmn`` — mean+variance normalization: (x - mean_t) / (std_t + 1e-8).
+    * ``cvmn`` — mean+variance normalization: (x - mean_t) / clamp(std_t, 1e-8)
+      with torch's UNBIASED std (ddof=1) and a clamp, not an add —
+      reference ``src/compare_normalization.py:59-62``.
     """
     if scheme == "raw":
         return features
@@ -83,12 +125,17 @@ def apply_utterance_norm(features: np.ndarray, scheme: str) -> np.ndarray:
     if scheme == "cmn":
         return features - mean
     if scheme == "cvmn":
-        std = features.std(axis=-1, keepdims=True)
-        return (features - mean) / (std + 1e-8)
+        std = features.std(axis=-1, keepdims=True, ddof=1)
+        return (features - mean) / np.maximum(std, 1e-8)
     raise ValueError(f"unknown normalization scheme '{scheme}' (raw|cmn|cvmn)")
 
 
-def build_normalizer(features: np.ndarray, labels: np.ndarray | None, swap_tf: bool = True) -> FeatureNormalizer:
+def build_normalizer(
+    features: np.ndarray,
+    labels: np.ndarray | None,
+    swap_tf: bool = True,
+    lengths: np.ndarray | None = None,
+) -> FeatureNormalizer:
     """Fit on bonafide-only rows of a stored-orientation (N, F, T) corpus.
 
     Mirrors reference ``src/dataset_cae.py:120-141``: with ``swap_tf`` the
@@ -98,7 +145,12 @@ def build_normalizer(features: np.ndarray, labels: np.ndarray | None, swap_tf: b
     everything, instead of on ``features[None == 1]`` == an empty slice
     whose mean/std are NaN.
     """
-    bona = features if labels is None else features[np.asarray(labels) == 1]
+    if labels is None:
+        bona, blen = features, lengths
+    else:
+        keep = np.asarray(labels) == 1
+        bona = features[keep]
+        blen = None if lengths is None else np.asarray(lengths)[keep]
     if swap_tf:
         bona = np.transpose(bona, (0, 2, 1))  # (N, T, F)
-    return FeatureNormalizer().fit(bona)
+    return FeatureNormalizer().fit(bona, lengths=blen)

@@ -40,7 +40,13 @@ class ArrayDataset:
 
     def filter_label(self, label: int) -> "ArrayDataset":
         """Bonafide-only view (reference ``BonafideDataset``,
-        ``src/dataset_cae.py:57-86``)."""
+        ``src/dataset_cae.py:57-86``).
+
+        NOTE: the fancy-index below MATERIALIZES the filtered subset —
+        on a memory-mapped npy-store corpus that pages the whole subset
+        into RAM. For corpora whose filtered half exceeds host RAM,
+        filter at conversion time instead:
+        ``data_tools convert-to-npy --filter-label 1``."""
         if self.labels is None:
             raise ValueError("dataset has no labels")
         keep = np.nonzero(self.labels == label)[0]
@@ -68,7 +74,7 @@ def load_dataset(
     from dfac_tpu.io.npy_store import is_npy_store, load_npy_dataset
 
     if is_npy_store(features_path):
-        return load_npy_dataset(features_path, labels_path)
+        return load_npy_dataset(features_path, labels_path, strict=strict)
     uttids, feats, lengths = load_features(features_path, return_lengths=True)
     labels = None
     if labels_path is not None:

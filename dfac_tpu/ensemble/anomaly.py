@@ -61,8 +61,8 @@ def gmm_anomaly_scores(
     eval_embeddings: np.ndarray,
     n_components: int = 8,
     pca_dims: int = 256,
-    seed: int = 0,
-    reg_covar: float = 1e-6,
+    seed: int = 42,  # reference src/embedding_anomaly.py:149-157
+    reg_covar: float = 1e-4,
 ) -> np.ndarray:
     """PCA -> full-covariance GMM log-likelihood (higher = more bonafide)."""
     from sklearn.decomposition import PCA
@@ -91,10 +91,17 @@ def embedding_anomaly_report(
     nu: float = 0.05,
     gmm_components: int = 8,
     pca_dims: int = 256,
-    reg_covar: float = 1e-6,
+    reg_covar: float = 1e-4,
 ) -> dict:
     """Full pipeline: embeddings -> OC-SVM + GMM scores -> EER for both."""
+    if eval_ds.labels is None:
+        raise ValueError(
+            "embedding_anomaly_report needs a LABELED eval dataset (the "
+            "report is an EER over its labels)"
+        )
     bona_train = train_ds.filter_label(1)
+    if len(bona_train) == 0:
+        raise ValueError("train_ds has no bonafide (label 1) rows to fit on")
     tr_emb = extract_embeddings(model, variables, bona_train, batch_size, swap_tf)
     ev_emb = extract_embeddings(model, variables, eval_ds, batch_size, swap_tf)
     labels = np.asarray(eval_ds.labels)

@@ -23,12 +23,20 @@ def score_checkpoints(
     in_features: int = 180,
 ) -> dict[str, np.ndarray]:
     """``specs``: list of (arch, checkpoint_path). Returns sigmoid scores per
-    spec keyed by ``"{arch}:{path}"``."""
+    spec keyed by ``"{arch}:{path}"``; a spec listed k times gets ``#2``...
+    suffixes so the mean weights it k times like the reference's list
+    (``src/ensemble.py:106-121``) — a dict collapse would silently drop
+    the duplicate."""
     out = {}
     for arch, path in specs:
         model = build_model(arch, in_features=in_features)
         variables = load_model_variables(path, model_name=arch)
-        out[f"{arch}:{path}"] = predict_scores(
+        key = base = f"{arch}:{path}"
+        k = 2
+        while key in out:
+            key = f"{base}#{k}"
+            k += 1
+        out[key] = predict_scores(
             model, variables, ds, batch_size=batch_size, swap_tf=swap_tf, apply_sigmoid=True
         )
     return out

@@ -49,7 +49,9 @@ def is_npy_store(path: str) -> bool:
     return os.path.isdir(path) and os.path.exists(os.path.join(path, FEATURES))
 
 
-def load_npy_dataset(path: str, labels_path: str | None = None, mmap: bool = True):
+def load_npy_dataset(
+    path: str, labels_path: str | None = None, mmap: bool = True, strict: bool = True
+):
     """Open a store; features stay memory-mapped (read-only) when ``mmap``.
 
     ``labels_path`` may name a second store directory or a ``labels.pkl``
@@ -75,7 +77,7 @@ def load_npy_dataset(path: str, labels_path: str | None = None, mmap: bool = Tru
             luttids, raw = load_labels(labels_path)
         from dfac_tpu.data.pipeline import align_labels
 
-        labels = align_labels(uttids, luttids, raw)
+        labels = align_labels(uttids, luttids, raw, strict=strict)
     elif os.path.exists(own_labels):
         labels = np.load(own_labels)
     return ArrayDataset(uttids=uttids, features=feats, labels=labels, lengths=lengths)

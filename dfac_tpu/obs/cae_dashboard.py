@@ -203,6 +203,14 @@ class CAEPlainDashboard(TrainingVisualizer):
                 f"\nEarly stopping at epoch {history[-1].epoch} "
                 f"(no improvement in {self._early_stop} epochs)"
             )
+        # final best-result line of the reference's plain fallback
+        # (src/train_cae.py:363) — the rich dashboard prints its panel
+        best = min(
+            (m for m in history if m.dev_loss is not None),
+            key=lambda m: m.dev_loss, default=None,
+        )
+        if best is not None:
+            print(f"\nBest val MSE: {best.dev_loss:.6f} (epoch {best.epoch})")
 
 
 def create_cae_visualizer(kind: str = "rich") -> TrainingVisualizer:

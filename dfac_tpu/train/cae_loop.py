@@ -517,7 +517,8 @@ class CAETrainer:
         bona_dev = dev_ds.filter_label(1) if dev_ds.labels is not None else dev_ds
 
         self.normalizer = normalizer or build_normalizer(
-            train_ds.features, train_ds.labels, swap_tf=cfg.swap_tf
+            train_ds.features, train_ds.labels, swap_tf=cfg.swap_tf,
+            lengths=train_ds.lengths,
         )
         mean = jnp.asarray(self.normalizer.mean)
         std = jnp.asarray(self.normalizer.std)
@@ -766,7 +767,8 @@ class CAETrainer:
         bona_train = train_ds.filter_label(1) if train_ds.labels is not None else train_ds
         bona_dev = dev_ds.filter_label(1) if dev_ds.labels is not None else dev_ds
         self.normalizer = normalizer or build_normalizer(
-            train_ds.features, train_ds.labels, swap_tf=cfg.swap_tf
+            train_ds.features, train_ds.labels, swap_tf=cfg.swap_tf,
+            lengths=train_ds.lengths,
         )
         mean = jnp.asarray(self.normalizer.mean)
         std = jnp.asarray(self.normalizer.std)

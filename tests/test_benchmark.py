@@ -127,7 +127,9 @@ def test_utterance_norm_schemes(rng):
     np.testing.assert_allclose(cmn.mean(axis=-1), 0.0, atol=1e-5)
     cvmn = apply_utterance_norm(x, "cvmn")
     np.testing.assert_allclose(cvmn.mean(axis=-1), 0.0, atol=1e-5)
-    np.testing.assert_allclose(cvmn.std(axis=-1), 1.0, atol=1e-3)
+    # torch-parity contract (src/compare_normalization.py:59-62): divide
+    # by the UNBIASED std, so the unbiased std of the result is 1
+    np.testing.assert_allclose(cvmn.std(axis=-1, ddof=1), 1.0, atol=1e-3)
     with pytest.raises(ValueError):
         apply_utterance_norm(x, "bogus")
 
