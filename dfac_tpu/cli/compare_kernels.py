@@ -84,7 +84,11 @@ def main(argv=None):
             # best-epoch weights — the config records best_dev_eer, so the
             # saved model must be the one that achieved it
             trainer.best_variables(),
-            epoch=len(result["history"]),
+            # the epoch that PRODUCED these weights, not the last one run
+            epoch=next(
+                (m.epoch for m in reversed(result["history"]) if m.is_best),
+                len(result["history"]),
+            ),
             config={
                 "model": "cnn1d_variant", "kernel_sizes": list(kernels),
                 "normalization": scheme, "seed": args.seed,

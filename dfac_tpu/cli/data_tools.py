@@ -166,6 +166,8 @@ def main(argv=None):
         from dfac_tpu.data.pipeline import load_dataset
         from dfac_tpu.io.npy_store import save_npy_dataset
 
+        if args.filter_label is not None and args.labels is None:
+            p.error("--filter-label requires --labels")
         ds = load_dataset(args.features, args.labels)
         if args.filter_label is not None:
             n_before = len(ds)

@@ -77,8 +77,7 @@ def main(argv=None):
 
     if args.fast and mesh is not None:
         # folded-BN chain sharded over the mesh, batch by batch
-        from dfac_tpu.io.fastcast import cast_bf16
-        from dfac_tpu.models.fast_infer import fold_cnn1d, fold_cnn2d
+        from dfac_tpu.models.fast_infer import _ingest, fold_cnn1d, fold_cnn2d
         from dfac_tpu.parallel.mesh import batch_sharding
         from dfac_tpu.parallel.serving import make_sharded_cnn2d_feature_scorer
         from dfac_tpu.train.evaluate import collect_masked_scores
@@ -90,18 +89,12 @@ def main(argv=None):
             compute_dtype=dtype, model=args.model,
         )
         shard = batch_sharding(mesh)
-
-        def upload(b):
-            # host bf16 cast (bit-identical: the chain's first op is this
-            # cast) + SHARDED put — slices land on their chips directly
-            # instead of committing to device 0 and resharding over ICI
-            host = cast_bf16(np.asarray(b.features)) if dtype == jnp.bfloat16 \
-                else np.ascontiguousarray(b.features)
-            return jax.device_put(host, shard)
-
         scores = collect_masked_scores(
             lambda feats: scorer(folded, feats),
-            ds, args.batch_size, prepare_batch=upload,
+            ds, args.batch_size,
+            # sharded put: slices land on their chips directly instead of
+            # committing to device 0 and resharding over ICI per batch
+            prepare_batch=lambda b: _ingest(b.features, dtype, shard),
         )
     elif args.fast and args.model == "cnn1d":
         from dfac_tpu.models.fast_infer import predict_scores_fast_cnn1d

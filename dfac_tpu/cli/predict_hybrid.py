@@ -67,16 +67,13 @@ def main(argv=None):
             raise SystemExit("--data-parallel requires --fast with --cnn-model cnn2d")
         if args.batch_size % args.data_parallel:
             raise SystemExit("--batch-size must divide by --data-parallel")
-        import jax
         import jax.numpy as jnp
         import numpy as np
 
-        from dfac_tpu.data.pipeline import batch_iterator
-        from dfac_tpu.models.fast_infer import fold_cae, fold_cnn2d
-        from dfac_tpu.parallel.mesh import make_mesh
+        from dfac_tpu.models.fast_infer import _ingest, fold_cae, fold_cnn2d
+        from dfac_tpu.parallel.mesh import batch_sharding, make_mesh
         from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
-
-        from dfac_tpu.parallel.mesh import batch_sharding
+        from dfac_tpu.train.evaluate import collect_masked_scores
 
         mesh = make_mesh(n_data=args.data_parallel)
         scorer = make_sharded_hybrid_scorer(mesh)
@@ -84,23 +81,17 @@ def main(argv=None):
         mean = jnp.asarray(normalizer.mean)
         std = jnp.asarray(normalizer.std)
         shard = batch_sharding(mesh)
-        sup_chunks, mse_chunks, masks = [], [], []
-        for batch in batch_iterator(ds, args.batch_size):
-            # f32 upload, NOT a host bf16 cast: the one feats array feeds
-            # BOTH legs, and the CAE leg's MSE target is formed in f32
-            # from the raw input — pre-quantizing would shift its scores.
-            # SHARDED put: slices land on their chips directly instead of
-            # committing to device 0 and resharding over ICI per batch
-            s, m = scorer(
-                folded_sup, folded_cae, mean, std,
-                jax.device_put(np.ascontiguousarray(batch.features), shard),
-            )
-            sup_chunks.append(s)
-            mse_chunks.append(m)
-            masks.append(batch.weights > 0)
-        keep = np.concatenate(masks)
-        sup = np.asarray(jnp.concatenate(sup_chunks))[keep]
-        cae_s = np.asarray(jnp.concatenate(mse_chunks))[keep]
+        # f32 upload, NOT a host bf16 cast: the one feats array feeds BOTH
+        # legs, and the CAE leg's MSE target is formed in f32 from the raw
+        # input — pre-quantizing would shift its scores. Sharded put lands
+        # slices on their chips; the shared collect contract gives the
+        # prefetch-threaded ingest and the empty-corpus guard.
+        sup, cae_s = collect_masked_scores(
+            lambda feats: scorer(folded_sup, folded_cae, mean, std, feats),
+            ds, args.batch_size,
+            prepare_batch=lambda b: _ingest(b.features, jnp.float32, shard),
+            n_outputs=2,
+        )
     elif args.fast:
         # both legs through the folded-BN fused chains (models/fast_infer.py)
         from dfac_tpu.models.fast_infer import cae_mse_scores_fast

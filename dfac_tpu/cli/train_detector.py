@@ -60,6 +60,9 @@ def parse_args(argv=None):
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
                 "--fused-fit/--resident-chunk-batches")
+    if args.device_resident and args.resident_chunk_batches:
+        p.error("--device-resident uploads the whole corpus once; "
+                "--resident-chunk-batches streams it — pick one")
     return args
 
 

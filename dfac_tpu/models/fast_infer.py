@@ -163,7 +163,7 @@ def predict_scores_fast(
     )
 
 
-def _ingest(feats_np, compute_dtype):
+def _ingest(feats_np, compute_dtype, sharding=None):
     """Host -> device upload of a feature batch for the fast chains.
 
     When the chain computes in bf16 its FIRST op is ``astype(bf16)`` — so
@@ -172,6 +172,9 @@ def _ingest(feats_np, compute_dtype):
     see results/v5e_measurements.md round 3). The transfer is async
     (``device_put`` returns immediately), so upload of batch k+1 overlaps
     scoring of batch k inside ``collect_masked_scores``'s dispatch queue.
+    ``sharding`` (e.g. ``batch_sharding(mesh)``) lands slices directly on
+    their chips for the data-parallel scorers — the ONE copy of the
+    ingest logic for single-chip and sharded serving alike.
     """
     if compute_dtype == jnp.bfloat16:
         from dfac_tpu.io.fastcast import cast_bf16
@@ -179,8 +182,8 @@ def _ingest(feats_np, compute_dtype):
         # multithreaded native cast (bit-exact with ml_dtypes astype,
         # numpy fallback inside) — the cast reads straight from the
         # memmap view, so page faults parallelize too
-        return jax.device_put(cast_bf16(np.asarray(feats_np)))
-    return jax.device_put(np.asarray(feats_np))
+        return jax.device_put(cast_bf16(np.asarray(feats_np)), sharding)
+    return jax.device_put(np.ascontiguousarray(feats_np), sharding)
 
 
 def fold_cnn1d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:

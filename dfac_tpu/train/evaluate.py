@@ -41,6 +41,7 @@ def collect_masked_scores(
     batch_size: int,
     prepare_batch: Callable | None = None,
     prefetch: int = 2,
+    n_outputs: int = 1,
 ) -> np.ndarray:
     """Run ``score_batch(batch) -> (B,) device scores`` over every padded
     batch, keep results on device, then do ONE host fetch and drop the
@@ -53,7 +54,11 @@ def collect_masked_scores(
     (``io.prefetch.prefetched``, depth ``prefetch``), so host assembly of
     batch k+1 overlaps device scoring of batch k — the torch-DataLoader
     worker overlap of the reference serving loop, one thread because the
-    heavy host stages release the GIL."""
+    heavy host stages release the GIL.
+
+    With ``n_outputs > 1`` the scorer returns a TUPLE of per-row arrays
+    (e.g. the hybrid scorer's supervised scores + CAE MSE) and the result
+    is the tuple of masked concatenations."""
     from dfac_tpu.io.prefetch import prefetched
 
     def produce():
@@ -66,9 +71,16 @@ def collect_masked_scores(
         chunks.append(score_batch(prepared))
         masks.append(mask)
     if not chunks:
-        return np.zeros((0,), np.float32)
+        empty = np.zeros((0,), np.float32)
+        return empty if n_outputs == 1 else (empty,) * n_outputs
+    keep = np.concatenate(masks)
+    if n_outputs > 1:
+        return tuple(
+            np.asarray(jnp.concatenate([c[i] for c in chunks]))[keep]
+            for i in range(n_outputs)
+        )
     flat = np.asarray(jnp.concatenate(chunks))
-    return flat[np.concatenate(masks)]
+    return flat[keep]
 
 
 def predict_scores(

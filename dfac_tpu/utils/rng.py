@@ -39,7 +39,7 @@ def train_key(seed: int, impl: str | None = None) -> jax.Array:
     ``DFAC_TPU_PRNG`` environment variable — overrides the generator
     (e.g. ``'threefry2x32'`` for cross-environment bit reproducibility).
     """
-    explicit = impl is not None or "DFAC_TPU_PRNG" in os.environ
+    explicit = impl is not None or bool(os.environ.get("DFAC_TPU_PRNG"))
     impl = impl or os.environ.get("DFAC_TPU_PRNG") or "rbg"
     impl = {"threefry": "threefry2x32"}.get(impl, impl)
     known = {"rbg", "unsafe_rbg", "threefry2x32"}
