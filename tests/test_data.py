@@ -231,3 +231,59 @@ def test_build_normalizer_unlabeled_corpus(rng):
     assert np.isfinite(norm.mean).all() and np.isfinite(norm.std).all()
     ref = build_normalizer(feats, np.ones(6, np.int32))
     np.testing.assert_allclose(norm.mean, ref.mean)
+
+
+def test_normalizer_lengths_exclude_pad_frames(rng):
+    """Padded variable-length corpus: only true frames enter the stats —
+    equivalent to the reference's concatenation of true-length tensors
+    (src/dataset_cae.py:120-141)."""
+    from dfac_tpu.data.normalizer import FeatureNormalizer
+
+    n, t, f = 6, 12, 5
+    feats = np.zeros((n, t, f), np.float32)
+    lengths = rng.integers(3, t + 1, size=(n,)).astype(np.int32)
+    rows = []
+    for i in range(n):
+        real = rng.normal(loc=2.0, size=(lengths[i], f)).astype(np.float32)
+        feats[i, : lengths[i]] = real
+        rows.append(real)
+    masked = FeatureNormalizer().fit(feats, lengths=lengths)
+    ref = FeatureNormalizer().fit(rows)  # list input == true frames only
+    np.testing.assert_allclose(masked.mean, ref.mean, rtol=1e-6)
+    np.testing.assert_allclose(masked.std, ref.std, rtol=1e-6)
+    # and the pad frames WOULD have changed the stats
+    unmasked = FeatureNormalizer().fit(feats)
+    assert not np.allclose(unmasked.mean, ref.mean)
+
+
+def test_normalizer_fit_streams_from_memmap(rng, tmp_path):
+    """Slab-streamed two-moment fit: memmap == in-RAM == list-of-rows."""
+    from dfac_tpu.data.normalizer import FeatureNormalizer
+
+    arr = rng.normal(loc=1.5, scale=3.0, size=(40, 9, 7)).astype(np.float32)
+    p = tmp_path / "corpus.npy"
+    np.save(p, arr)
+    mm = np.load(p, mmap_mode="r")
+    a = FeatureNormalizer().fit(arr)
+    b = FeatureNormalizer().fit(mm)
+    c = FeatureNormalizer().fit(list(arr))
+    np.testing.assert_array_equal(a.mean, b.mean)
+    np.testing.assert_array_equal(a.std, b.std)
+    np.testing.assert_allclose(a.mean, c.mean, rtol=1e-6)
+    np.testing.assert_allclose(a.std, c.std, rtol=1e-6)
+
+
+def test_cvmn_matches_torch_semantics(rng):
+    """cvmn divides by torch's UNBIASED std clamped at 1e-8
+    (reference src/compare_normalization.py:56-62)."""
+    torch = pytest.importorskip("torch")
+
+    from dfac_tpu.data.normalizer import apply_utterance_norm
+
+    x = rng.normal(loc=2.0, size=(3, 6, 21)).astype(np.float32)
+    got = apply_utterance_norm(x, "cvmn")
+    feat = torch.from_numpy(x)
+    mean = feat.mean(dim=2, keepdim=True)
+    std = feat.std(dim=2, keepdim=True).clamp(min=1e-8)
+    want = ((feat - mean) / std).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
