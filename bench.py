@@ -27,7 +27,38 @@ os.environ.setdefault(
 BASELINE_UTT_S = 10_000.0
 
 
+def _probe_backend(timeout_s: float = 180.0) -> None:
+    """Fail FAST (clear stderr + nonzero exit) when the accelerator relay
+    is unreachable, instead of hanging forever inside backend init.
+
+    ``jax.devices()`` through a dead PJRT relay blocks indefinitely and is
+    not interruptible from Python once entered — so the probe runs in a
+    SUBPROCESS with a hard timeout. A backend that answers in the child
+    answers in the parent (same env)."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench.py: accelerator backend unreachable (device probe hung "
+            f"> {timeout_s:.0f}s — is the TPU relay up?)", file=sys.stderr,
+        )
+        raise SystemExit(2)
+    if proc.returncode != 0:
+        print(
+            "bench.py: device probe failed:\n" + proc.stdout.decode(errors="replace"),
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
 def main() -> None:
+    _probe_backend()
     import jax
     import jax.numpy as jnp
 
