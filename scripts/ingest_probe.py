@@ -35,6 +35,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # the axon sitecustomize pins jax_platforms; an env JAX_PLATFORMS=cpu
+    # is silently ignored unless applied as an explicit config update
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from dfac_tpu.data.pipeline import ArrayDataset, load_dataset
