@@ -110,7 +110,6 @@ def main():
     # ── 3. chunked streaming x DP (corpora larger than aggregate HBM) ──
     # host gathers G-batch chunks off the (memmap-able) corpus, uploads
     # them pre-sharded over 'data', device scans each chunk as ONE dispatch
-    from dfac_tpu.io.prefetch import prefetched
     from dfac_tpu.train.chunked import stream_chunks
     from dfac_tpu.train.loop import make_dp_chunk_scan
 
@@ -121,7 +120,8 @@ def main():
     chunks = stream_chunks(
         feats, (labels,), order, batch_size=16, chunk_batches=2, mesh=mesh
     )
-    for ci, full, tail in prefetched(chunks, depth=1):
+    # stream_chunks already prefetches its host stage in a worker thread
+    for ci, full, tail in chunks:
         state, loss_sum, count = chunk_scan(state, *full)
         print(f"chunk {ci}: {int(count)} utts in one dispatch, "
               f"mean loss={float(loss_sum) / float(count):.4f}")
