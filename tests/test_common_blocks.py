@@ -168,7 +168,7 @@ def test_convtranspose_init_matches_torch_fan():
     expect_bound = 1.0 / np.sqrt(out_c * 4)
 
     ref = torch.nn.ConvTranspose2d(in_c, out_c, 2, stride=2)
-    ref_bound = float(ref.weight.abs().max() / 0.999)  # sample max ~ bound
+    ref_bound = (ref.weight.abs().max() / 0.999).item()  # sample max ~ bound
     assert abs(np.abs(k).max() - ref_bound) < 0.2 * expect_bound
     assert np.abs(k).max() <= expect_bound * 1.0001
     assert np.abs(k).max() > 0.95 * expect_bound  # 262k samples hug the bound

@@ -121,8 +121,8 @@ def test_shard_map_axis_matches_global(rng):
     """Fused epilogue under 8-device shard_map DP == single-device on the
     global batch, values and gradients (the pmean'd stats and psum'd
     backward sums implement the exact cross-device BatchNorm)."""
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     devs = jax.devices("cpu")[:8]
     mesh = Mesh(np.array(devs), ("data",))
