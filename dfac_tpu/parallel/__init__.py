@@ -5,3 +5,4 @@ from dfac_tpu.parallel.mesh import (  # noqa: F401
     shard_model_params,
 )
 from dfac_tpu.parallel.data_parallel import make_shard_map_train_step  # noqa: F401
+from dfac_tpu.parallel import multihost  # noqa: F401

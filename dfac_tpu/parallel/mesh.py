@@ -52,7 +52,7 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_model_params(
-    params: Any, mesh: Mesh, min_shard_elems: int = 4096
+    params: Any, mesh: Mesh, min_shard_elems: int = 4096, placer=jax.device_put
 ) -> Any:
     """Tensor-parallel placement rule for this model family.
 
@@ -62,6 +62,10 @@ def shard_model_params(
     input features; XLA turns the matmul into partial products + psum).
     Everything else (small conv kernels, BN vectors) is replicated —
     broadcast cost is negligible next to HBM savings being irrelevant here.
+
+    ``placer(x, sharding)`` performs the placement. The default
+    ``jax.device_put`` only reaches process-addressable devices; on a
+    multi-host mesh pass :func:`dfac_tpu.parallel.multihost.put_global`.
     """
     n_model = mesh.shape["model"]
 
@@ -73,18 +77,22 @@ def shard_model_params(
             and x.shape[0] % n_model == 0
             and x.size >= min_shard_elems
         ):
-            return jax.device_put(x, NamedSharding(mesh, P("model", None)))
-        return jax.device_put(x, replicate(mesh))
+            return placer(x, NamedSharding(mesh, P("model", None)))
+        return placer(x, replicate(mesh))
 
     return jax.tree.map(place, params)
 
 
-def shard_train_state(state, mesh: Mesh, min_shard_elems: int = 4096):
+def shard_train_state(
+    state, mesh: Mesh, min_shard_elems: int = 4096, placer=jax.device_put
+):
     """Place a TrainState on the mesh: params/opt_state under the
-    tensor-parallel rule, batch_stats replicated, PRNG key replicated."""
+    tensor-parallel rule, batch_stats replicated, PRNG key replicated.
+    ``placer`` as in :func:`shard_model_params`."""
+    rep = replicate(mesh)
     return state.replace(
-        params=shard_model_params(state.params, mesh, min_shard_elems),
-        batch_stats=jax.tree.map(lambda x: jax.device_put(x, replicate(mesh)), state.batch_stats),
-        opt_state=shard_model_params(state.opt_state, mesh, min_shard_elems),
-        key=jax.device_put(state.key, replicate(mesh)),
+        params=shard_model_params(state.params, mesh, min_shard_elems, placer),
+        batch_stats=jax.tree.map(lambda x: placer(x, rep), state.batch_stats),
+        opt_state=shard_model_params(state.opt_state, mesh, min_shard_elems, placer),
+        key=placer(state.key, rep),
     )

@@ -82,12 +82,28 @@ class TrainConfig:
     # upload overlapped) — for corpora larger than HBM; 0 = off
     resident_chunk_batches: int = 0
     checkpoint_format: str = "pickle"  # pickle (single file) | orbax (directory)
+    # run the DP path over a multi-host mesh (one process per pod host,
+    # jax.distributed initialized): each process feeds its row slice of
+    # every global batch; checkpoints/UI stay on the coordinator
+    multihost: bool = False
 
     def __post_init__(self):
         if not (0.0 <= self.label_smoothing < 0.5):
             raise ValueError("label_smoothing must be in [0, 0.5)")
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
+        if self.multihost:
+            if self.data_parallel <= 1:
+                raise ValueError(
+                    "multihost runs the shard_map DP path — set data_parallel "
+                    "to the GLOBAL device count (all hosts' chips)"
+                )
+            if self.device_resident or self.resident_chunk_batches:
+                raise ValueError(
+                    "multihost supports the host-loop DP path: the resident/"
+                    "chunked uploads are process-local device_put calls that "
+                    "cannot reach other hosts' devices"
+                )
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
         if self.resident_chunk_batches and self.device_resident:
@@ -340,6 +356,12 @@ class Trainer:
     ):
         self.cfg = cfg
         self.visualizer = visualizer or NoOpVisualizer()
+        if cfg.multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            if not mh.is_coordinator():
+                # one progress UI per pod, not one per host process
+                self.visualizer = NoOpVisualizer()
         model_kwargs = _model_kwargs(cfg)
         if cfg.data_parallel > 1:
             # BatchNorm stats must sync over the mesh in the shard_map path.
@@ -557,6 +579,8 @@ class Trainer:
                         jnp.ones(len(idx), jnp.float32),
                     )
                     after_step(i, loss_sum, count)
+        elif cfg.multihost:
+            self._multihost_epoch(ds, epoch, after_step)
         else:
             from dfac_tpu.io.prefetch import prefetched
 
@@ -578,6 +602,72 @@ class Trainer:
 
         tc = float(total_count)
         return (float(total_loss) / tc) if tc else None
+
+    def _multihost_epoch(self, ds: ArrayDataset, epoch: int, after_step) -> None:
+        """Host-loop DP epoch on a multi-host mesh (one process per pod
+        host, ``jax.distributed`` initialized).
+
+        Every process walks the SAME shuffled batch sequence (identical
+        permutation seed — exactly :func:`batch_iterator`'s), but gathers
+        and uploads only its own row slice of each global batch
+        (:func:`dfac_tpu.parallel.multihost.batch_from_local` — a
+        memmap-backed corpus pages in only each host's rows); the shard_map
+        DP step then runs as ONE global program over every host's devices,
+        with gradient/BatchNorm psums riding ICI/DCN. Host gather of batch
+        k+1 overlaps the device step on batch k (same prefetch pipeline as
+        the single-host loop). Parity with the single-device step on the
+        global batch is asserted in ``tests/multihost_worker.py``."""
+        from dfac_tpu.io.prefetch import prefetched
+        from dfac_tpu.parallel import multihost as mh
+        from dfac_tpu.train.chunked import check_dp_tail
+
+        cfg = self.cfg
+        n = len(ds)
+        check_dp_tail(n, cfg.batch_size, cfg.data_parallel, "multihost training")
+        # state leaves must be GLOBAL arrays before they meet the multi-host
+        # program; re-placing each epoch also heals host-local leaves the
+        # scheduler's LR update injects (idempotent, and tiny next to an
+        # epoch for these model sizes)
+        self.state = mh.replicate_tree(self.state, self.mesh)
+        order = np.arange(n)
+        np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
+        labels_all = np.asarray(
+            ds.labels if ds.labels is not None else np.zeros(n), np.float32
+        )
+        ranges: dict[int, tuple[int, int]] = {}
+
+        def host_batches():
+            from dfac_tpu.io.fastcast import gather_f32
+
+            native = (
+                isinstance(ds.features, np.ndarray)
+                and ds.features.dtype == np.float32
+                and ds.features.flags.c_contiguous
+            )
+            for start in range(0, n, cfg.batch_size):
+                rows = order[start : start + cfg.batch_size]
+                b = len(rows)
+                if b not in ranges:
+                    ranges[b] = mh.local_row_range(self.mesh, b)
+                lo, hi = ranges[b]
+                local = rows[lo:hi]
+                feats = (
+                    gather_f32(ds.features, local)
+                    if native
+                    else np.asarray(ds.features[local])
+                )
+                yield b, feats, labels_all[local]
+
+        for i, (b, feats_l, labels_l) in enumerate(prefetched(host_batches())):
+            self.state, loss_sum, count = self._train_step(
+                self.state,
+                mh.batch_from_local(feats_l, self.mesh, global_rows=b),
+                mh.batch_from_local(labels_l, self.mesh, global_rows=b),
+                mh.batch_from_local(
+                    np.ones(len(labels_l), np.float32), self.mesh, global_rows=b
+                ),
+            )
+            after_step(i, loss_sum, count)
 
     def _chunked_epoch(self, ds: ArrayDataset, epoch: int, after_step) -> None:
         """Streamed epoch for corpora larger than HBM (npy-store scale).
@@ -673,6 +763,13 @@ class Trainer:
         resume_from: str | None = None,
     ) -> dict:
         cfg = self.cfg
+        if cfg.multihost and checkpoint_dir:
+            from dfac_tpu.parallel import multihost as mh
+
+            if not mh.is_coordinator():
+                # exactly one process writes artifacts; state is replicated
+                # so the coordinator's copy IS the global model
+                checkpoint_dir = None
         start_epoch = 1
         resumed_ts: dict = {}
         if resume_from:

@@ -450,7 +450,7 @@ def test_dp_dropout_masks_differ_across_shards(eight_devices):
     replicated key would zero identical activation positions on every
     shard (correlated regularization). Checks the mechanism: per-shard
     fold_in of axis_index must yield distinct mask draws."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = make_mesh(n_data=8, devices=eight_devices)
