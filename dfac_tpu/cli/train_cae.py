@@ -39,9 +39,20 @@ def parse_args(argv=None):
                         "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod training: run one copy per host "
+                        "(jax.distributed auto-detects on TPU pods); DP over "
+                        "ALL global devices, coordinator-only checkpoints/UI")
+    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
+    if args.multihost and (args.fused_fit or args.device_resident
+                           or args.resident_chunk_batches):
+        p.error("--multihost runs the host-loop DP path; it composes with none "
+                "of --fused-fit/--device-resident/--resident-chunk-batches")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -59,6 +70,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    if args.multihost:
+        # must join the cluster before anything touches the backend
+        from dfac_tpu.parallel import multihost as mh
+
+        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
+        if not args.data_parallel:
+            import jax
+
+            args.data_parallel = len(jax.devices())
 
     from dfac_tpu.data.normalizer import FeatureNormalizer
     from dfac_tpu.data.pipeline import load_dataset
@@ -81,6 +101,7 @@ def main(argv=None):
         device_resident=args.device_resident,
         resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
+        multihost=args.multihost,
     )
     visualizer = create_cae_visualizer("noop" if args.quiet else ("plain" if args.no_rich else "rich"))
     trainer = CAETrainer(cfg, visualizer=visualizer)

@@ -55,7 +55,18 @@ def parse_args(argv=None):
                         "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod training: run one copy per host "
+                        "(jax.distributed auto-detects on TPU pods); DP over "
+                        "ALL global devices, coordinator-only checkpoints")
+    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+    if args.multihost and (args.fused_fit or args.device_resident
+                           or args.resident_chunk_batches):
+        p.error("--multihost runs the host-loop DP path; it composes with none "
+                "of --fused-fit/--device-resident/--resident-chunk-batches")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -72,6 +83,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    if args.multihost:
+        # must join the cluster before anything touches the backend
+        from dfac_tpu.parallel import multihost as mh
+
+        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
+        if not args.data_parallel:
+            import jax
+
+            args.data_parallel = len(jax.devices())
 
     from dfac_tpu.data.pipeline import load_dataset
     from dfac_tpu.io.pickle_io import write_predictions
@@ -91,6 +111,7 @@ def main(argv=None):
         device_resident=args.device_resident,
         resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
+        multihost=args.multihost,
     )
 
     def split_paths(split):
@@ -109,6 +130,15 @@ def main(argv=None):
         trainer = DetectorTrainer(cfg, in_channels=in_ch)
         fit = trainer.fit_fused if args.fused_fit else trainer.fit
         result = fit(train_ds, dev_ds, ckpt_path=args.ckpt_path)
+        if args.multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            # the scoring stage below reloads the checkpoint (coordinator's
+            # filesystem) and is pure local compute — run it there only;
+            # the barrier orders it after the coordinator's ckpt write
+            mh.sync("detector-fit")
+            if not mh.is_coordinator():
+                return result
         print(f"Training done. Best dev EER: {result['best_eer']:.6f}")
         model = trainer.model
         test_ds = load_dataset(test_feat, test_lab if has_test_labels else None)

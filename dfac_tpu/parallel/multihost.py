@@ -152,6 +152,56 @@ def batch_from_local(
     return jax.make_array_from_process_local_data(sh, local_rows, global_shape)
 
 
+def stream_global_batches(
+    feats_src: np.ndarray,
+    row_arrays: tuple,
+    order: np.ndarray,
+    batch_size: int,
+    mesh: Mesh,
+):
+    """Per-batch multi-host feeding: walk ``order`` in ``batch_size`` steps,
+    gather THIS process's row slice of each global batch on the host
+    (native threaded gather — a memmap corpus pages in only this host's
+    rows), and yield ``(feats, *rows)`` as global batch-sharded arrays.
+
+    Host gather of batch k+1 runs in a prefetch thread overlapping the
+    device's work on batch k; device placement happens at the consumer
+    (mirrors :func:`dfac_tpu.train.chunked.stream_chunks`). Every process
+    must iterate the SAME ``order`` (seeded identically).
+    """
+    from dfac_tpu.io.prefetch import prefetched
+
+    n = len(order)
+    ranges: dict[int, tuple[int, int]] = {}
+
+    def host_side():
+        from dfac_tpu.io.fastcast import gather_f32
+
+        native = (
+            isinstance(feats_src, np.ndarray)
+            and feats_src.dtype == np.float32
+            and feats_src.flags.c_contiguous
+        )
+        for start in range(0, n, batch_size):
+            rows = order[start : start + batch_size]
+            b = len(rows)
+            if b not in ranges:
+                ranges[b] = local_row_range(mesh, b)
+            lo, hi = ranges[b]
+            local = rows[lo:hi]
+            feats = (
+                gather_f32(feats_src, local) if native
+                else np.asarray(feats_src[local])
+            )
+            yield b, feats, tuple(np.asarray(r)[local] for r in row_arrays)
+
+    for b, feats, rows in prefetched(host_side()):
+        yield (
+            batch_from_local(feats, mesh, global_rows=b),
+            *(batch_from_local(r, mesh, global_rows=b) for r in rows),
+        )
+
+
 def fetch_replicated(x: jax.Array) -> np.ndarray:
     """Host copy of a fully-replicated global array (reductions, scores with
     replicated out_shardings). Every process gets the full value from its

@@ -62,10 +62,25 @@ class CAEConfig:
     # stream the epoch in chunks of N batches (one dispatch per chunk,
     # upload overlapped) — for bonafide corpora larger than HBM; 0 = off
     resident_chunk_batches: int = 0
+    # multi-host pod training (one process per host, jax.distributed
+    # initialized): host-loop DP with per-process batch feeding
+    multihost: bool = False
 
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
+        if self.multihost:
+            if self.data_parallel <= 1:
+                raise ValueError(
+                    "multihost runs the shard_map DP path — set data_parallel "
+                    "to the GLOBAL device count (all hosts' chips)"
+                )
+            if self.device_resident or self.resident_chunk_batches:
+                raise ValueError(
+                    "multihost supports the host-loop DP path: the resident/"
+                    "chunked uploads are process-local device_put calls that "
+                    "cannot reach other hosts' devices"
+                )
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
         if self.resident_chunk_batches and self.device_resident:
@@ -433,6 +448,12 @@ class CAETrainer:
     def __init__(self, cfg: CAEConfig, visualizer: TrainingVisualizer | None = None):
         self.cfg = cfg
         self.visualizer = visualizer or NoOpVisualizer()
+        if cfg.multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            if not mh.is_coordinator():
+                # one progress UI per pod, not one per host process
+                self.visualizer = NoOpVisualizer()
         model_kwargs = {}
         if cfg.data_parallel > 1:
             # BatchNorm stats must sync over the mesh in the shard_map path
@@ -549,6 +570,12 @@ class CAETrainer:
 
         import os
 
+        if cfg.multihost and checkpoint_dir:
+            from dfac_tpu.parallel import multihost as mh
+
+            if not mh.is_coordinator():
+                # exactly one process writes artifacts; state is replicated
+                checkpoint_dir = None
         best_path = last_path = norm_path = None
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
@@ -673,6 +700,31 @@ class CAETrainer:
                         if live_ui and float(count):
                             batch_ctx.update_batch(
                                 BatchMetrics(batches_done - 1, float(total) / float(count), nr)
+                            )
+                elif cfg.multihost:
+                    # multi-host pod epoch: same shuffled batch order on
+                    # every process, each feeding only its row slice
+                    # (see loop.Trainer._multihost_epoch for the full story)
+                    from dfac_tpu.parallel import multihost as mh
+                    from dfac_tpu.train.chunked import check_dp_tail
+
+                    n_ex = len(bona_train)
+                    check_dp_tail(n_ex, cfg.batch_size, dp, "multihost CAE training")
+                    self.state = mh.replicate_tree(self.state, self.mesh)
+                    order = np.arange(n_ex)
+                    np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
+                    for i, (feats_g, w_g) in enumerate(
+                        mh.stream_global_batches(
+                            bona_train.features, (np.ones(n_ex, np.float32),),
+                            order, cfg.batch_size, self.mesh,
+                        )
+                    ):
+                        self.state, loss_sum, nb = train_step(self.state, feats_g, w_g)
+                        total = total + loss_sum
+                        count = count + nb
+                        if live_ui and float(count):
+                            batch_ctx.update_batch(
+                                BatchMetrics(i, float(total) / float(count), int(nb))
                             )
                 else:
                     from dfac_tpu.io.prefetch import prefetched

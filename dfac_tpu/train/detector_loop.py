@@ -59,10 +59,25 @@ class DetectorConfig:
     # stream the epoch in chunks of N batches (one dispatch per chunk,
     # upload overlapped) — for corpora larger than HBM; 0 = off
     resident_chunk_batches: int = 0
+    # multi-host pod training (one process per host, jax.distributed
+    # initialized): host-loop DP with per-process batch feeding
+    multihost: bool = False
 
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
+        if self.multihost:
+            if self.data_parallel <= 1:
+                raise ValueError(
+                    "multihost runs the shard_map DP path — set data_parallel "
+                    "to the GLOBAL device count (all hosts' chips)"
+                )
+            if self.device_resident or self.resident_chunk_batches:
+                raise ValueError(
+                    "multihost supports the host-loop DP path: the resident/"
+                    "chunked uploads are process-local device_put calls that "
+                    "cannot reach other hosts' devices"
+                )
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
         if self.resident_chunk_batches and self.device_resident:
@@ -454,6 +469,12 @@ class DetectorTrainer:
     # -- loop -------------------------------------------------------------
     def fit(self, train_ds: ArrayDataset, dev_ds: ArrayDataset, ckpt_path: str | None = None) -> dict:
         cfg = self.cfg
+        if cfg.multihost and ckpt_path:
+            from dfac_tpu.parallel import multihost as mh
+
+            if not mh.is_coordinator():
+                # exactly one process writes artifacts; state is replicated
+                ckpt_path = None
         rng = np.random.default_rng(cfg.seed)
         labels = np.asarray(train_ds.labels)
         pos_weight, w0, w1 = compute_class_weights(labels)
@@ -560,6 +581,27 @@ class DetectorTrainer:
                         self.state, loss = train_step(self.state, *tail_b)
                         total_loss = total_loss + loss
                         n_batches += 1
+                total_loss = float(total_loss)
+            elif cfg.multihost:
+                # multi-host pod epoch: the weighted sample `order` is
+                # identical on every process (seeded rng), each feeding only
+                # its row slice (see loop.Trainer._multihost_epoch)
+                from dfac_tpu.parallel import multihost as mh
+                from dfac_tpu.train.chunked import check_dp_tail
+
+                check_dp_tail(n, cfg.batch_size, dp, "multihost detector training")
+                self.state = mh.replicate_tree(self.state, self.mesh)
+                total_loss, n_batches = jnp.zeros(()), 0
+                for feats_g, lens_g, labels_g, w_g in mh.stream_global_batches(
+                    train_ds.features,
+                    (lengths, labels.astype(np.float32), np.ones(n, np.float32)),
+                    order, cfg.batch_size, self.mesh,
+                ):
+                    self.state, loss = dp_step(
+                        self.state, feats_g, lens_g, labels_g, w_g
+                    )
+                    total_loss = total_loss + loss
+                    n_batches += 1
                 total_loss = float(total_loss)
             else:
                 total_loss, n_batches = jnp.zeros(()), 0

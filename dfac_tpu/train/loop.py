@@ -617,7 +617,6 @@ class Trainer:
         k+1 overlaps the device step on batch k (same prefetch pipeline as
         the single-host loop). Parity with the single-device step on the
         global batch is asserted in ``tests/multihost_worker.py``."""
-        from dfac_tpu.io.prefetch import prefetched
         from dfac_tpu.parallel import multihost as mh
         from dfac_tpu.train.chunked import check_dp_tail
 
@@ -634,38 +633,14 @@ class Trainer:
         labels_all = np.asarray(
             ds.labels if ds.labels is not None else np.zeros(n), np.float32
         )
-        ranges: dict[int, tuple[int, int]] = {}
-
-        def host_batches():
-            from dfac_tpu.io.fastcast import gather_f32
-
-            native = (
-                isinstance(ds.features, np.ndarray)
-                and ds.features.dtype == np.float32
-                and ds.features.flags.c_contiguous
+        for i, (feats_g, labels_g, w_g) in enumerate(
+            mh.stream_global_batches(
+                ds.features, (labels_all, np.ones(n, np.float32)),
+                order, cfg.batch_size, self.mesh,
             )
-            for start in range(0, n, cfg.batch_size):
-                rows = order[start : start + cfg.batch_size]
-                b = len(rows)
-                if b not in ranges:
-                    ranges[b] = mh.local_row_range(self.mesh, b)
-                lo, hi = ranges[b]
-                local = rows[lo:hi]
-                feats = (
-                    gather_f32(ds.features, local)
-                    if native
-                    else np.asarray(ds.features[local])
-                )
-                yield b, feats, labels_all[local]
-
-        for i, (b, feats_l, labels_l) in enumerate(prefetched(host_batches())):
+        ):
             self.state, loss_sum, count = self._train_step(
-                self.state,
-                mh.batch_from_local(feats_l, self.mesh, global_rows=b),
-                mh.batch_from_local(labels_l, self.mesh, global_rows=b),
-                mh.batch_from_local(
-                    np.ones(len(labels_l), np.float32), self.mesh, global_rows=b
-                ),
+                self.state, feats_g, labels_g, w_g
             )
             after_step(i, loss_sum, count)
 

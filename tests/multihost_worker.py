@@ -210,6 +210,61 @@ assert wrote == (pid == 0), (
     f"checkpoints must come from the coordinator only (pid={pid}, wrote={wrote})"
 )
 
+# --- CAE trainer in multihost mode (1 epoch) vs single-device
+from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer  # noqa: E402
+
+n_cae = 32  # bonafide count must tile into dp-divisible batches
+cae_feats = rng.normal(size=(n_cae, f_dim, t_dim)).astype(np.float32)
+cae_train = ArrayDataset(
+    uttids=[f"c{i}" for i in range(n_cae)], features=cae_feats,
+    labels=np.ones(n_cae, np.int32),
+)
+cae_dev = ArrayDataset(
+    uttids=[f"cd{i}" for i in range(16)],
+    features=rng.normal(size=(16, f_dim, t_dim)).astype(np.float32),
+    labels=np.ones(16, np.int32),
+)
+cae_cfg = CAEConfig(
+    batch_size=8, epochs=1, base_channels=4, seed=0,
+    data_parallel=8, multihost=True,
+)
+cae_res = CAETrainer(cae_cfg).fit(cae_train, cae_dev)
+cae_res_sd = CAETrainer(
+    dataclasses.replace(cae_cfg, data_parallel=0, multihost=False)
+).fit(cae_train, cae_dev)
+np.testing.assert_allclose(
+    cae_res["best_val_mse"], cae_res_sd["best_val_mse"], rtol=1e-4,
+    err_msg="multihost CAE val MSE must match single-device",
+)
+np.testing.assert_allclose(
+    cae_res["history"][0].train_loss, cae_res_sd["history"][0].train_loss,
+    rtol=1e-4,
+)
+
+# --- detector trainer in multihost mode (1 epoch) vs single-device
+from dfac_tpu.train.detector_loop import DetectorConfig, DetectorTrainer  # noqa: E402
+
+det_cfg = DetectorConfig(
+    epochs=1, batch_size=8, hidden=16, dropout=0.0, specaug=False,
+    ema=True, seed=3, data_parallel=8, multihost=True,
+)
+det_res = DetectorTrainer(det_cfg, in_channels=f_dim).fit(train_ds, dev_ds)
+det_res_sd = DetectorTrainer(
+    dataclasses.replace(det_cfg, data_parallel=0, multihost=False),
+    in_channels=f_dim,
+).fit(train_ds, dev_ds)
+np.testing.assert_allclose(
+    det_res["history"][0]["train_loss"], det_res_sd["history"][0]["train_loss"],
+    # psum'd shard sums reassociate differently from single-device sums and
+    # the drift compounds through Adam's sqrt(v) normalization over the
+    # epoch's updates (measured ~2e-3 rel); feeding/sync bugs move the loss
+    # by orders of magnitude more
+    rtol=5e-3, err_msg="multihost detector train loss must match single-device",
+)
+assert det_res["best_eer"] == det_res_sd["best_eer"], (
+    det_res["best_eer"], det_res_sd["best_eer"],
+)
+
 mh.sync("done")
 jax.distributed.shutdown()
 print(f"ALL OK {pid}", flush=True)
