@@ -33,6 +33,13 @@ def parse_args(argv=None):
     )
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (0 = single device)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod serving (requires --fast): run one copy "
+                        "per host; each feeds its row slice of every batch, "
+                        "scores allgather, the coordinator writes the pkl")
+    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     sig = p.add_mutually_exclusive_group()
     sig.add_argument("--apply-sigmoid", dest="apply_sigmoid", action="store_true", default=True)
     sig.add_argument("--no-apply-sigmoid", dest="apply_sigmoid", action="store_false")
@@ -43,12 +50,23 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
-    if args.fast and args.data_parallel > 1 and args.batch_size % args.data_parallel:
-        raise SystemExit("--batch-size must divide by --data-parallel")
+    if args.multihost and not args.fast:
+        raise SystemExit("--multihost serving runs the folded fast chain — add --fast")
     if args.device:
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    if args.multihost:
+        # must join the cluster before anything touches the backend
+        from dfac_tpu.parallel import multihost as mh
+
+        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
+        if not args.data_parallel:
+            import jax
+
+            args.data_parallel = len(jax.devices())
+    if args.fast and args.data_parallel > 1 and args.batch_size % args.data_parallel:
+        raise SystemExit("--batch-size must divide by --data-parallel")
 
     import jax
     import jax.numpy as jnp
@@ -88,14 +106,38 @@ def main(argv=None):
             mesh, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
             compute_dtype=dtype, model=args.model,
         )
-        shard = batch_sharding(mesh)
-        scores = collect_masked_scores(
-            lambda feats: scorer(folded, feats),
-            ds, args.batch_size,
-            # sharded put: slices land on their chips directly instead of
-            # committing to device 0 and resharding over ICI per batch
-            prepare_batch=lambda b: _ingest(b.features, dtype, shard),
-        )
+        if args.multihost:
+            # each process ingests only ITS row slice of every (padded,
+            # fixed-size) batch; scores allgather across hosts at the end
+            from dfac_tpu.parallel import multihost as mh
+
+            folded = mh.replicate_tree(folded, mesh)
+            lo, hi = mh.local_row_range(mesh, args.batch_size)
+
+            def prepare(b):
+                local = np.asarray(b.features[lo:hi])
+                if dtype == jnp.bfloat16:
+                    from dfac_tpu.io.fastcast import cast_bf16
+
+                    local = cast_bf16(local)
+                return mh.batch_from_local(
+                    local, mesh, global_rows=args.batch_size
+                )
+
+            scores = collect_masked_scores(
+                lambda feats: scorer(folded, feats),
+                ds, args.batch_size,
+                prepare_batch=prepare, gather=mh.gather_rows,
+            )
+        else:
+            shard = batch_sharding(mesh)
+            scores = collect_masked_scores(
+                lambda feats: scorer(folded, feats),
+                ds, args.batch_size,
+                # sharded put: slices land on their chips directly instead of
+                # committing to device 0 and resharding over ICI per batch
+                prepare_batch=lambda b: _ingest(b.features, dtype, shard),
+            )
     elif args.fast and args.model == "cnn1d":
         from dfac_tpu.models.fast_infer import predict_scores_fast_cnn1d
 
@@ -122,6 +164,11 @@ def main(argv=None):
         )
     if len(scores) != len(ds):
         raise ValueError("Number of predictions does not match number of rows in features.pkl")
+    if args.multihost:
+        from dfac_tpu.parallel import multihost as mh
+
+        if not mh.is_coordinator():
+            return  # every process computed the full scores; one writes
     write_predictions(args.out, ds.uttids, scores)
     print(f"wrote {len(scores)} predictions to {args.out}")
 

@@ -214,6 +214,20 @@ def fetch_replicated(x: jax.Array) -> np.ndarray:
     return np.asarray(x.addressable_data(0))
 
 
+def gather_rows(x: jax.Array) -> np.ndarray:
+    """Host copy of a leading-axis-sharded global array on EVERY process
+    (cross-host allgather) — e.g. sharded corpus scores that a CLI must
+    write to one file. For fully-replicated arrays prefer
+    :func:`fetch_replicated` (no collective)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    if x.sharding.is_fully_replicated:
+        return fetch_replicated(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def sync(name: str = "dfac") -> None:
     """Barrier across all processes (e.g. before the coordinator reads a
     file another process wrote)."""

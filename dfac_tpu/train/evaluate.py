@@ -42,6 +42,7 @@ def collect_masked_scores(
     prepare_batch: Callable | None = None,
     prefetch: int = 2,
     n_outputs: int = 1,
+    gather: Callable | None = None,
 ) -> np.ndarray:
     """Run ``score_batch(batch) -> (B,) device scores`` over every padded
     batch, keep results on device, then do ONE host fetch and drop the
@@ -58,8 +59,15 @@ def collect_masked_scores(
 
     With ``n_outputs > 1`` the scorer returns a TUPLE of per-row arrays
     (e.g. the hybrid scorer's supervised scores + CAE MSE) and the result
-    is the tuple of masked concatenations."""
+    is the tuple of masked concatenations.
+
+    ``gather`` (optional) converts the concatenated device scores to a host
+    array (default ``np.asarray``); multi-host callers pass
+    :func:`dfac_tpu.parallel.multihost.gather_rows`, which allgathers rows
+    whose shards live on other hosts."""
     from dfac_tpu.io.prefetch import prefetched
+
+    to_host = gather if gather is not None else np.asarray
 
     def produce():
         for batch in batch_iterator(ds, batch_size):
@@ -76,10 +84,10 @@ def collect_masked_scores(
     keep = np.concatenate(masks)
     if n_outputs > 1:
         return tuple(
-            np.asarray(jnp.concatenate([c[i] for c in chunks]))[keep]
+            to_host(jnp.concatenate([c[i] for c in chunks]))[keep]
             for i in range(n_outputs)
         )
-    flat = np.asarray(jnp.concatenate(chunks))
+    flat = to_host(jnp.concatenate(chunks))
     return flat[keep]
 
 

@@ -265,6 +265,39 @@ assert det_res["best_eer"] == det_res_sd["best_eer"], (
     det_res["best_eer"], det_res_sd["best_eer"],
 )
 
+# --- the dfac-predict --fast --multihost composition: sharded feature
+# scorer fed per-process row slices, scores allgathered on every host
+from dfac_tpu.models.fast_infer import cnn2d_fast_scores  # noqa: E402
+from dfac_tpu.parallel.serving import make_sharded_cnn2d_feature_scorer  # noqa: E402
+from dfac_tpu.train.evaluate import collect_masked_scores  # noqa: E402
+
+pm = build_model("cnn2d", in_features=f_dim, base_channels=4)
+pv = pm.init({"params": jax.random.key(8)}, jnp.zeros((1, t_dim, f_dim)))
+folded_p = fold_cnn2d(pv)
+scorer_p = make_sharded_cnn2d_feature_scorer(
+    mesh, swap_tf=True, apply_sigmoid=True, compute_dtype=jnp.float32
+)
+folded_pg = mh.replicate_tree(folded_p, mesh)
+B = 8
+plo, phi = mh.local_row_range(mesh, B)
+scores_mh = collect_masked_scores(
+    lambda f: scorer_p(folded_pg, f), train_ds, B,
+    prepare_batch=lambda b: mh.batch_from_local(
+        np.asarray(b.features[plo:phi]), mesh, global_rows=B
+    ),
+    gather=mh.gather_rows,
+)
+pred_ref = np.asarray(
+    cnn2d_fast_scores(
+        folded_p, jnp.asarray(tr_feats), apply_sigmoid=True,
+        compute_dtype=jnp.float32,
+    )
+)
+np.testing.assert_allclose(
+    scores_mh, pred_ref, atol=1e-6,
+    err_msg="multihost predict scores must match the single-device fast chain",
+)
+
 mh.sync("done")
 jax.distributed.shutdown()
 print(f"ALL OK {pid}", flush=True)
