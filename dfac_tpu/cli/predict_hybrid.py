@@ -32,6 +32,13 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (requires "
                    "--fast with cnn2d; both legs run per shard)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod serving (requires --fast with cnn2d): "
+                        "one copy per host; each feeds its row slice, scores "
+                        "allgather, the coordinator writes the pkl/reports")
+    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--device", default=None)
     return p.parse_args(argv)
 
@@ -42,6 +49,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    if args.multihost:
+        # must join the cluster before anything touches the backend
+        from dfac_tpu.parallel import multihost as mh
+
+        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
+        if not args.data_parallel:
+            import jax
+
+            args.data_parallel = len(jax.devices())
 
     from dfac_tpu.data.normalizer import FeatureNormalizer
     from dfac_tpu.data.pipeline import load_dataset
@@ -86,11 +102,26 @@ def main(argv=None):
         # input — pre-quantizing would shift its scores. Sharded put lands
         # slices on their chips; the shared collect contract gives the
         # prefetch-threaded ingest and the empty-corpus guard.
+        if args.multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            folded_sup = mh.replicate_tree(folded_sup, mesh)
+            folded_cae = mh.replicate_tree(folded_cae, mesh)
+            lo, hi = mh.local_row_range(mesh, args.batch_size)
+            prepare = lambda b: mh.batch_from_local(  # noqa: E731
+                np.ascontiguousarray(b.features[lo:hi]), mesh,
+                global_rows=args.batch_size,
+            )
+            gather = mh.gather_rows
+        else:
+            prepare = lambda b: _ingest(b.features, jnp.float32, shard)  # noqa: E731
+            gather = None
         sup, cae_s = collect_masked_scores(
             lambda feats: scorer(folded_sup, folded_cae, mean, std, feats),
             ds, args.batch_size,
-            prepare_batch=lambda b: _ingest(b.features, jnp.float32, shard),
+            prepare_batch=prepare,
             n_outputs=2,
+            gather=gather,
         )
     elif args.fast:
         # both legs through the folded-BN fused chains (models/fast_infer.py)
@@ -112,6 +143,11 @@ def main(argv=None):
         cae_s = cae_mse_scores(cae, cae_vars, ds, normalizer, args.batch_size)
 
     hybrid = fuse_scores(sup, cae_s, alpha=args.alpha)
+    if args.multihost:
+        from dfac_tpu.parallel import multihost as mh
+
+        if not mh.is_coordinator():
+            return  # every process computed the full scores; one writes
     write_predictions(args.out, ds.uttids, hybrid)
     print(f"wrote {len(hybrid)} hybrid predictions (alpha={args.alpha}) to {args.out}")
 
