@@ -27,6 +27,34 @@ def add_swap_tf_args(p: argparse.ArgumentParser, default: bool = True) -> None:
     p.set_defaults(swap_tf=default)
 
 
+def add_multihost_args(p: argparse.ArgumentParser, extra_help: str = "") -> None:
+    """The --multihost flag group shared by every trainer/serving CLI."""
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod execution: run one copy of this CLI per "
+                        "host (jax.distributed auto-detects on TPU pods; see the "
+                        "--coordinator-* flags for CPU/GPU clusters). DP over ALL "
+                        "global devices; artifacts from the coordinator only"
+                        + (". " + extra_help if extra_help else ""))
+    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT",
+                   help="with --multihost off TPU pods: the rank-0 coordinator")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="with --coordinator-address: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="with --coordinator-address: this process's rank")
+
+
+def init_multihost(args) -> None:
+    """Join the cluster (must run before anything touches the backend) and
+    default ``args.data_parallel`` to the GLOBAL device count."""
+    from dfac_tpu.parallel import multihost as mh
+
+    mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
+    if not args.data_parallel:
+        import jax
+
+        args.data_parallel = len(jax.devices())
+
+
 def add_augment_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spec-augment", action="store_true",
                    help="enable SpecAugment during training")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 
-from dfac_tpu.cli.common import add_swap_tf_args
+from dfac_tpu.cli.common import add_multihost_args, add_swap_tf_args, init_multihost
 
 
 def parse_args(argv=None):
@@ -33,13 +33,7 @@ def parse_args(argv=None):
     )
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (0 = single device)")
-    p.add_argument("--multihost", action="store_true",
-                   help="multi-host pod serving (requires --fast): run one copy "
-                        "per host; each feeds its row slice of every batch, "
-                        "scores allgather, the coordinator writes the pkl")
-    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
-    p.add_argument("--num-processes", type=int, default=None)
-    p.add_argument("--process-id", type=int, default=None)
+    add_multihost_args(p, extra_help="requires --fast")
     sig = p.add_mutually_exclusive_group()
     sig.add_argument("--apply-sigmoid", dest="apply_sigmoid", action="store_true", default=True)
     sig.add_argument("--no-apply-sigmoid", dest="apply_sigmoid", action="store_false")
@@ -57,14 +51,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.device)
     if args.multihost:
-        # must join the cluster before anything touches the backend
-        from dfac_tpu.parallel import multihost as mh
-
-        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
-        if not args.data_parallel:
-            import jax
-
-            args.data_parallel = len(jax.devices())
+        init_multihost(args)  # join the cluster before the backend wakes up
     if args.fast and args.data_parallel > 1 and args.batch_size % args.data_parallel:
         raise SystemExit("--batch-size must divide by --data-parallel")
 

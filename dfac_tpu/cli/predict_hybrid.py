@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import argparse
 
+from dfac_tpu.cli.common import add_multihost_args, init_multihost
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Hybrid CNN+CAE prediction for submission.")
@@ -32,32 +34,24 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (requires "
                    "--fast with cnn2d; both legs run per shard)")
-    p.add_argument("--multihost", action="store_true",
-                   help="multi-host pod serving (requires --fast with cnn2d): "
-                        "one copy per host; each feeds its row slice, scores "
-                        "allgather, the coordinator writes the pkl/reports")
-    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
-    p.add_argument("--num-processes", type=int, default=None)
-    p.add_argument("--process-id", type=int, default=None)
+    add_multihost_args(p, extra_help="requires --fast with cnn2d")
     p.add_argument("--device", default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost and (not args.fast or args.cnn_model != "cnn2d"):
+        raise SystemExit(
+            "--multihost hybrid serving runs the folded fast chains — "
+            "add --fast with --cnn-model cnn2d"
+        )
     if args.device:
         import jax
 
         jax.config.update("jax_platforms", args.device)
     if args.multihost:
-        # must join the cluster before anything touches the backend
-        from dfac_tpu.parallel import multihost as mh
-
-        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
-        if not args.data_parallel:
-            import jax
-
-            args.data_parallel = len(jax.devices())
+        init_multihost(args)  # join the cluster before the backend wakes up
 
     from dfac_tpu.data.normalizer import FeatureNormalizer
     from dfac_tpu.data.pipeline import load_dataset

@@ -15,8 +15,10 @@ import numpy as np
 from dfac_tpu.cli.common import (
     add_augment_args,
     add_data_args,
+    add_multihost_args,
     add_swap_tf_args,
     augment_config_from_args,
+    init_multihost,
     set_seed,
 )
 
@@ -78,17 +80,7 @@ def parse_args(argv=None):
                    help="resume training from a checkpoint (model+optimizer+scheduler+epoch)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
-    p.add_argument("--multihost", action="store_true",
-                   help="multi-host pod training: run one copy of this CLI per host "
-                        "(jax.distributed auto-detects on TPU pods; see the "
-                        "--coordinator-* flags for CPU/GPU clusters). DP over ALL "
-                        "global devices; checkpoints/UI on the coordinator only")
-    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT",
-                   help="with --multihost off TPU pods: the rank-0 coordinator")
-    p.add_argument("--num-processes", type=int, default=None,
-                   help="with --coordinator-address: total process count")
-    p.add_argument("--process-id", type=int, default=None,
-                   help="with --coordinator-address: this process's rank")
+    add_multihost_args(p)
     add_swap_tf_args(p)
     args = p.parse_args(argv)
     if args.multihost and (args.fused_fit or args.device_resident
@@ -136,14 +128,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.device)
     if args.multihost:
-        # must join the cluster before anything touches the backend
-        from dfac_tpu.parallel import multihost as mh
-
-        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
-        if not args.data_parallel:
-            import jax
-
-            args.data_parallel = len(jax.devices())
+        init_multihost(args)  # join the cluster before the backend wakes up
 
     from dfac_tpu.data.pipeline import load_dataset
     from dfac_tpu.obs.factory import create_visualizer

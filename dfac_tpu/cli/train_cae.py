@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 
-from dfac_tpu.cli.common import add_data_args, set_seed
+from dfac_tpu.cli.common import add_data_args, add_multihost_args, init_multihost, set_seed
 
 
 def parse_args(argv=None):
@@ -39,13 +39,7 @@ def parse_args(argv=None):
                         "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
-    p.add_argument("--multihost", action="store_true",
-                   help="multi-host pod training: run one copy per host "
-                        "(jax.distributed auto-detects on TPU pods); DP over "
-                        "ALL global devices, coordinator-only checkpoints/UI")
-    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
-    p.add_argument("--num-processes", type=int, default=None)
-    p.add_argument("--process-id", type=int, default=None)
+    add_multihost_args(p)
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
@@ -71,14 +65,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.device)
     if args.multihost:
-        # must join the cluster before anything touches the backend
-        from dfac_tpu.parallel import multihost as mh
-
-        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
-        if not args.data_parallel:
-            import jax
-
-            args.data_parallel = len(jax.devices())
+        init_multihost(args)  # join the cluster before the backend wakes up
 
     from dfac_tpu.data.normalizer import FeatureNormalizer
     from dfac_tpu.data.pipeline import load_dataset

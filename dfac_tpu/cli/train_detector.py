@@ -10,6 +10,8 @@ split has labels.
 from __future__ import annotations
 
 import argparse
+
+from dfac_tpu.cli.common import add_multihost_args, init_multihost
 import os
 
 
@@ -55,13 +57,7 @@ def parse_args(argv=None):
                         "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
-    p.add_argument("--multihost", action="store_true",
-                   help="multi-host pod training: run one copy per host "
-                        "(jax.distributed auto-detects on TPU pods); DP over "
-                        "ALL global devices, coordinator-only checkpoints")
-    p.add_argument("--coordinator-address", default=None, metavar="HOST:PORT")
-    p.add_argument("--num-processes", type=int, default=None)
-    p.add_argument("--process-id", type=int, default=None)
+    add_multihost_args(p)
     args = p.parse_args(argv)
     if args.multihost and (args.fused_fit or args.device_resident
                            or args.resident_chunk_batches):
@@ -84,14 +80,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.device)
     if args.multihost:
-        # must join the cluster before anything touches the backend
-        from dfac_tpu.parallel import multihost as mh
+        init_multihost(args)  # join the cluster before the backend wakes up
+        if args.epochs <= 0:
+            from dfac_tpu.parallel import multihost as mh
 
-        mh.initialize(args.coordinator_address, args.num_processes, args.process_id)
-        if not args.data_parallel:
-            import jax
-
-            args.data_parallel = len(jax.devices())
+            if not mh.is_coordinator():
+                # score-only mode is pure local compute from a checkpoint on
+                # the coordinator's filesystem — concurrent writes of the
+                # same prediction.pkl from every host would corrupt it
+                return
 
     from dfac_tpu.data.pipeline import load_dataset
     from dfac_tpu.io.pickle_io import write_predictions

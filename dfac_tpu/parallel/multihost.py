@@ -125,6 +125,13 @@ def local_row_range(mesh: Mesh, n_rows: int, axis: str = "data") -> tuple[int, i
             if d.process_index == jax.process_index()
         }
     )
+    if not spans:
+        raise ValueError(
+            f"process {jax.process_index()} owns no devices of this mesh "
+            f"({dict(mesh.shape)} over {mesh.size} of {len(jax.devices())} "
+            "global devices) — in multihost mode the mesh must span every "
+            "host's chips (e.g. leave --data-parallel at its global default)"
+        )
     lo, hi = spans[0][0], spans[-1][1]
     covered = sum(b - a for a, b in spans)
     if covered != hi - lo:
@@ -226,6 +233,34 @@ def gather_rows(x: jax.Array) -> np.ndarray:
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def broadcast_pyobj(obj: Any) -> Any:
+    """Broadcast an arbitrary picklable object from the coordinator to every
+    process. Non-coordinators' ``obj`` is ignored (pass ``None``).
+
+    Used for resume: checkpoints live on the coordinator's filesystem only
+    (the non-coordinators never write them), so the coordinator reads the
+    file once and the payload rides the distributed runtime — two
+    fixed-shape broadcasts (length, then bytes), since
+    ``broadcast_one_to_all`` needs matching shapes on every process.
+    """
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return obj
+    if is_coordinator():
+        payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    else:
+        payload = np.zeros(0, np.uint8)
+    n = int(multihost_utils.broadcast_one_to_all(np.int64(len(payload))))
+    buf = np.zeros(n, np.uint8)
+    if is_coordinator():
+        buf[:] = payload
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())
 
 
 def sync(name: str = "dfac") -> None:

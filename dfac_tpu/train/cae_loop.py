@@ -663,7 +663,7 @@ class CAETrainer:
                     )
 
                     n_ex = len(bona_train)
-                    check_dp_tail(n_ex, cfg.batch_size, dp, "CAE training")
+                    check_dp_tail(n_ex, cfg.batch_size, dp, "chunked CAE training")
                     if chunk_scan is None:
                         # fit-LOCAL (like train_step): the scan closes over
                         # THIS fit's normalizer mean/std — caching it on

@@ -21,10 +21,12 @@ import numpy as np
 
 
 def check_dp_tail(n: int, batch_size: int, dp: int, what: str) -> None:
-    """Every batch — including the epoch tail — must divide over shards."""
+    """Every batch — including the epoch tail — must divide over shards.
+    ``what`` names the caller's mode (e.g. "chunked training", "multihost
+    CAE training") so the error points at the feature actually in use."""
     if dp > 1 and (n % batch_size) % dp != 0:
         raise ValueError(
-            f"chunked data-parallel {what} needs every batch (including the "
+            f"data-parallel {what} needs every batch (including the "
             f"{n % batch_size}-row tail of the {n}-sample epoch) to divide "
             f"over {dp} shards — pick a batch_size with tail % data_parallel == 0"
         )

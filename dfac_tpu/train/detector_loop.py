@@ -558,7 +558,7 @@ class DetectorTrainer:
                     stream_chunks,
                 )
 
-                check_dp_tail(n, cfg.batch_size, dp, "detector training")
+                check_dp_tail(n, cfg.batch_size, dp, "chunked detector training")
                 if chunk_scan is None:
                     # scan over the SAME fit-local step the host loop
                     # dispatches (dp>1: the ones-appending DP wrapper) —

@@ -664,7 +664,7 @@ class Trainer:
 
         cfg = self.cfg
         n, dp = len(ds), cfg.data_parallel
-        check_dp_tail(n, cfg.batch_size, dp, "training")
+        check_dp_tail(n, cfg.batch_size, dp, "chunked training")
         order = np.arange(n)
         np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
         labels_all = np.asarray(
@@ -702,8 +702,19 @@ class Trainer:
 
         Goes beyond the reference, whose recovery is a manual re-run from
         ``*_last.pt`` with no trainer wiring (SURVEY.md §5).
+
+        In multihost mode checkpoints exist only on the coordinator's
+        filesystem (non-coordinators never write them, ``fit`` nulls their
+        checkpoint_dir) — so the coordinator reads the file and the payload
+        broadcasts to every process instead of each opening the path.
         """
-        ckpt = ckpt_lib.load_checkpoint(ckpt_path)
+        if self.cfg.multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            ckpt = ckpt_lib.load_checkpoint(ckpt_path) if mh.is_coordinator() else None
+            ckpt = mh.broadcast_pyobj(ckpt)
+        else:
+            ckpt = ckpt_lib.load_checkpoint(ckpt_path)
         variables = ckpt["model_state"]
         if self.state is None:
             # build a state skeleton so opt_state structure exists

@@ -210,6 +210,16 @@ assert wrote == (pid == 0), (
     f"checkpoints must come from the coordinator only (pid={pid}, wrote={wrote})"
 )
 
+# --- multihost resume: the checkpoint exists ONLY on the coordinator's
+# filesystem; restore() must broadcast it instead of every process opening
+# the path (which does not exist for pid 1)
+resume_path = os.path.join(ckpt_dir, "cnn2d_last.ckpt")
+assert os.path.exists(resume_path) == (pid == 0)
+tr_resumed = Trainer(dataclasses.replace(cfg_mh, epochs=3))
+tr_resumed.fit(train_ds, dev_ds, resume_from=resume_path)
+assert [m.epoch for m in tr_resumed.history] == [3], tr_resumed.history
+assert np.isfinite(tr_resumed.history[-1].train_loss)
+
 # --- CAE trainer in multihost mode (1 epoch) vs single-device
 from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer  # noqa: E402
 
