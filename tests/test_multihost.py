@@ -99,6 +99,42 @@ def test_put_global_and_fetch_replicated_single_process(rng):
     )
 
 
+def test_predict_multihost_requires_fast():
+    """The serving CLIs refuse --multihost without --fast BEFORE joining
+    the cluster (a late failure would name --data-parallel, a flag the
+    user never passed)."""
+    from dfac_tpu.cli.predict import main as predict_main
+    from dfac_tpu.cli.predict_hybrid import main as hybrid_main
+
+    with pytest.raises(SystemExit, match="add --fast"):
+        predict_main([
+            "--features", "x.pkl", "--checkpoint", "c.ckpt",
+            "--model", "cnn2d", "--out", "o.pkl", "--multihost",
+        ])
+    with pytest.raises(SystemExit, match="--fast with"):
+        hybrid_main([
+            "--features", "x.pkl", "--cnn-checkpoint", "c.ckpt",
+            "--cae-checkpoint", "a.ckpt", "--normalizer", "n.npz",
+            "--multihost",
+        ])
+
+
+def test_multihost_config_validation():
+    """multihost requires DP and rejects the process-local upload modes."""
+    from dfac_tpu.train.loop import TrainConfig
+
+    with pytest.raises(ValueError, match="GLOBAL device count"):
+        TrainConfig(multihost=True)
+    with pytest.raises(ValueError, match="host-loop DP path"):
+        TrainConfig(multihost=True, data_parallel=8, device_resident=True)
+
+
+def test_broadcast_pyobj_single_process():
+    obj = {"a": np.arange(3), "b": "x"}
+    out = mh.broadcast_pyobj(obj)
+    assert out is obj  # one process: no serialization round trip
+
+
 def test_batch_from_local_single_process(rng):
     """With one process the local rows ARE the global batch."""
     mesh = make_mesh(devices=jax.devices("cpu")[:8])
