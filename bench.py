@@ -46,7 +46,11 @@ def _probe_backend(timeout_s: float = 180.0) -> None:
     except subprocess.TimeoutExpired:
         print(
             f"bench.py: accelerator backend unreachable (device probe hung "
-            f"> {timeout_s:.0f}s — is the TPU relay up?)", file=sys.stderr,
+            f"> {timeout_s:.0f}s — is the TPU relay up?). Last good TPU "
+            "measurement: BENCH_r02.json (29,131.7 utt/s, 2.91x baseline); "
+            "methodology + per-stage numbers in results/v5e_measurements.md. "
+            "Re-run this script unchanged once the relay answers.",
+            file=sys.stderr,
         )
         raise SystemExit(2)
     if proc.returncode != 0:
