@@ -11,7 +11,10 @@
 PY ?= python
 CPU_MESH = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
-.PHONY: test dryrun bench demo multichip native
+.PHONY: test dryrun bench demo multichip native tpu-jobs
+
+tpu-jobs:  # run every queued TPU measurement (serial; exits 2 if relay down)
+	env -u XLA_FLAGS -u JAX_PLATFORMS $(PY) scripts/tpu_jobs.py
 
 test:
 	$(PY) -m pytest tests/ -q
