@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     add_multihost_args(p)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run to this directory")
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
@@ -94,7 +96,10 @@ def main(argv=None):
     trainer = CAETrainer(cfg, visualizer=visualizer)
     normalizer = FeatureNormalizer.load(args.normalizer) if args.normalizer else None
     fit = trainer.fit_fused if args.fused_fit else trainer.fit
-    result = fit(train_ds, dev_ds, checkpoint_dir=args.checkpoint_dir, normalizer=normalizer)
+    from dfac_tpu.obs.profiling import trace
+
+    with trace(args.profile_dir):
+        result = fit(train_ds, dev_ds, checkpoint_dir=args.checkpoint_dir, normalizer=normalizer)
     print(f"best val reconstruction MSE: {result['best_val_mse']:.6f}")
     return result
 

@@ -57,6 +57,8 @@ def parse_args(argv=None):
                         "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run to this directory")
     add_multihost_args(p)
     args = p.parse_args(argv)
     if args.multihost and (args.fused_fit or args.device_resident
@@ -126,7 +128,10 @@ def main(argv=None):
         in_ch = train_ds.features.shape[1]
         trainer = DetectorTrainer(cfg, in_channels=in_ch)
         fit = trainer.fit_fused if args.fused_fit else trainer.fit
-        result = fit(train_ds, dev_ds, ckpt_path=args.ckpt_path)
+        from dfac_tpu.obs.profiling import trace
+
+        with trace(args.profile_dir):
+            result = fit(train_ds, dev_ds, ckpt_path=args.ckpt_path)
         if args.multihost:
             from dfac_tpu.parallel import multihost as mh
 
