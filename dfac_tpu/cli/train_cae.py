@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     add_multihost_args(p)
+    p.add_argument("--checkpoint-format", choices=("pickle", "orbax"), default="pickle",
+                   help="checkpoint layout: single-file pickle or orbax directory")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
     p.add_argument("--no-rich", action="store_true")
@@ -91,6 +93,7 @@ def main(argv=None):
         resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
         multihost=args.multihost,
+        checkpoint_format=args.checkpoint_format,
     )
     visualizer = create_cae_visualizer("noop" if args.quiet else ("plain" if args.no_rich else "rich"))
     trainer = CAETrainer(cfg, visualizer=visualizer)

@@ -57,6 +57,8 @@ def parse_args(argv=None):
                         "composes with --data-parallel")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
+    p.add_argument("--checkpoint-format", choices=("pickle", "orbax"), default="pickle",
+                   help="checkpoint layout: single-file pickle or orbax directory")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
     add_multihost_args(p)
@@ -111,6 +113,7 @@ def main(argv=None):
         resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
         multihost=args.multihost,
+        checkpoint_format=args.checkpoint_format,
     )
 
     def split_paths(split):

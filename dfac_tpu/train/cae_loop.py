@@ -65,6 +65,7 @@ class CAEConfig:
     # multi-host pod training (one process per host, jax.distributed
     # initialized): host-loop DP with per-process batch feeding
     multihost: bool = False
+    checkpoint_format: str = "pickle"  # pickle (single file) | orbax (directory)
 
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
@@ -758,7 +759,8 @@ class CAETrainer:
                 best_val = val_loss
                 epochs_no_improve = 0
                 if best_path:
-                    ckpt_lib.save_checkpoint(
+                    ckpt_lib.save_checkpoint_fmt(
+                        cfg.checkpoint_format,
                         best_path, self.variables(), opt_state=self.state.opt_state,
                         epoch=epoch, config=dataclasses.asdict(cfg),
                         scheduler_state=self.scheduler.state_dict(),
@@ -786,7 +788,8 @@ class CAETrainer:
 
         self.visualizer.on_training_end(self.history)
         if last_path:
-            ckpt_lib.save_checkpoint(
+            ckpt_lib.save_checkpoint_fmt(
+                cfg.checkpoint_format,
                 last_path, self.variables(), opt_state=self.state.opt_state,
                 epoch=self.history[-1].epoch if self.history else 0,
                 config=dataclasses.asdict(cfg),
@@ -887,14 +890,16 @@ class CAETrainer:
             )
             best_sched.best = None if np.isinf(bsb) else bsb
             best_sched.num_bad_epochs = int(aux["best_sched_bad"])
-            ckpt_lib.save_checkpoint(
+            ckpt_lib.save_checkpoint_fmt(
+                cfg.checkpoint_format,
                 os.path.join(checkpoint_dir, "cae_best.ckpt"), bv,
                 opt_state=best_opt, epoch=int(aux["best_epoch"]),
                 config=dataclasses.asdict(cfg),
                 scheduler_state=best_sched.state_dict(),
             )
         if checkpoint_dir:
-            ckpt_lib.save_checkpoint(
+            ckpt_lib.save_checkpoint_fmt(
+                cfg.checkpoint_format,
                 os.path.join(checkpoint_dir, "cae_last.ckpt"), self.variables(),
                 opt_state=self.state.opt_state,
                 epoch=self.history[-1].epoch if self.history else 0,

@@ -75,6 +75,17 @@ def load_checkpoint(path: str) -> dict:
     return {"model_state": ckpt, "optimizer_state": None, "epoch": 0, "config": {}}
 
 
+def save_checkpoint_fmt(fmt: str, path: str, variables: dict, **kw) -> None:
+    """Format-dispatched save: ``"pickle"`` (single file, reference-style)
+    or ``"orbax"`` (atomic checkpoint directory). Same payload either way;
+    :func:`load_checkpoint` auto-detects on read."""
+    if fmt == "orbax":
+        return save_checkpoint_orbax(path, variables, **kw)
+    if fmt != "pickle":
+        raise ValueError(f"unknown checkpoint format {fmt!r} (pickle | orbax)")
+    return save_checkpoint(path, variables, **kw)
+
+
 def save_checkpoint_orbax(
     path: str,
     variables: dict,

@@ -62,6 +62,7 @@ class DetectorConfig:
     # multi-host pod training (one process per host, jax.distributed
     # initialized): host-loop DP with per-process batch feeding
     multihost: bool = False
+    checkpoint_format: str = "pickle"  # pickle (single file) | orbax (directory)
 
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
@@ -631,9 +632,10 @@ class DetectorTrainer:
             if dev_eer < best_eer:
                 best_eer, bad = dev_eer, 0
                 if ckpt_path:
-                    from dfac_tpu.train.checkpoint import save_checkpoint
+                    from dfac_tpu.train.checkpoint import save_checkpoint_fmt
 
-                    save_checkpoint(
+                    save_checkpoint_fmt(
+                        cfg.checkpoint_format,
                         ckpt_path, self.eval_variables(), epoch=epoch,
                         config=dataclasses.asdict(cfg),
                     )
@@ -720,9 +722,10 @@ class DetectorTrainer:
             float(min(h["dev_eer"] for h in out_history)) if out_history else float("inf")
         )
         if ckpt_path and out_history:
-            from dfac_tpu.train.checkpoint import save_checkpoint
+            from dfac_tpu.train.checkpoint import save_checkpoint_fmt
 
-            save_checkpoint(
+            save_checkpoint_fmt(
+                cfg.checkpoint_format,
                 ckpt_path, self._best_eval_vars, epoch=int(aux["best_epoch"]),
                 config=dataclasses.asdict(cfg),
             )

@@ -165,3 +165,30 @@ def test_cae_fused_fit_matches_resident_fit(tmp_path):
     s_ref = cae_mse_scores(ref_tr.model, ref_tr.variables(), dev_ds, ref_tr.normalizer, 8)
     s_got = cae_mse_scores(fused_tr.model, fused_tr.variables(), dev_ds, fused_tr.normalizer, 8)
     np.testing.assert_allclose(s_got, s_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_cae_orbax_checkpoint_format(tmp_path):
+    """checkpoint_format='orbax' writes checkpoint DIRECTORIES whose payload
+    round-trips through the auto-detecting loader with the full state."""
+    from dfac_tpu.train.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(3)
+    cfg = CAEConfig(batch_size=8, epochs=1, base_channels=4,
+                    checkpoint_format="orbax")
+    trainer = CAETrainer(cfg)
+    ckdir = str(tmp_path / "ck")
+    trainer.fit(_cae_corpus(rng, 16), _cae_corpus(np.random.default_rng(4), 8),
+                checkpoint_dir=ckdir)
+    import os
+
+    best = os.path.join(ckdir, "cae_best.ckpt")
+    assert os.path.isdir(best)  # orbax layout, not a pickle file
+    import jax
+
+    ckpt = load_checkpoint(best)
+    got = jax.tree.leaves(ckpt["model_state"]["params"])
+    want = jax.tree.leaves(jax.device_get(trainer.variables()["params"]))
+    # 1 epoch: best == final state
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert ckpt["optimizer_state"] is not None

@@ -248,3 +248,22 @@ def test_detector_fused_fit_matches_stepwise_fit(rng, tmp_path):
     s_ref = ref_tr.scores(dev)
     s_got = fused_tr.scores(dev)
     np.testing.assert_allclose(s_got, s_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_detector_orbax_checkpoint_format(rng, tmp_path):
+    """Detector checkpoints honor checkpoint_format='orbax' (directory
+    layout, auto-detected by the loaders the CLI scoring stage uses)."""
+    from dfac_tpu.train.checkpoint import load_model_variables
+
+    cfg = DetectorConfig(epochs=1, batch_size=8, hidden=8, dropout=0.0,
+                         seed=0, checkpoint_format="orbax")
+    trainer = DetectorTrainer(cfg, in_channels=F_)
+    ckpt = str(tmp_path / "det_orbax.ckpt")
+    trainer.fit(_ds(rng, 16), _ds(np.random.default_rng(1), 8), ckpt_path=ckpt)
+    assert os.path.isdir(ckpt)
+    variables = load_model_variables(ckpt, model_name="detector")
+    for g, w in zip(
+        jax.tree.leaves(variables["params"]),
+        jax.tree.leaves(jax.device_get(trainer.eval_variables()["params"])),
+    ):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
