@@ -74,6 +74,13 @@ def main(argv=None):
     variables = load_model_variables(args.checkpoint, model_name=args.model)
     ds = load_dataset(args.features)
 
+    import time
+
+    from dfac_tpu.io.prefetch import PrefetchStats
+
+    stats = PrefetchStats() if args.fast else None
+    t_run = time.perf_counter()
+
     mesh = None
     if args.data_parallel > 1:
         from dfac_tpu.parallel.mesh import make_mesh
@@ -114,7 +121,7 @@ def main(argv=None):
             scores = collect_masked_scores(
                 lambda feats: scorer(folded, feats),
                 ds, args.batch_size,
-                prepare_batch=prepare, gather=mh.gather_rows,
+                prepare_batch=prepare, gather=mh.gather_rows, stats=stats,
             )
         else:
             shard = batch_sharding(mesh)
@@ -124,6 +131,7 @@ def main(argv=None):
                 # sharded put: slices land on their chips directly instead of
                 # committing to device 0 and resharding over ICI per batch
                 prepare_batch=lambda b: _ingest(b.features, dtype, shard),
+                stats=stats,
             )
     elif args.fast and args.model == "cnn1d":
         from dfac_tpu.models.fast_infer import predict_scores_fast_cnn1d
@@ -133,6 +141,7 @@ def main(argv=None):
             batch_size=args.batch_size, swap_tf=args.swap_tf,
             apply_sigmoid=args.apply_sigmoid,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            stats=stats,
         )
     elif args.fast:
         from dfac_tpu.models.fast_infer import predict_scores_fast
@@ -142,6 +151,7 @@ def main(argv=None):
             batch_size=args.batch_size, swap_tf=args.swap_tf,
             apply_sigmoid=args.apply_sigmoid,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            stats=stats,
         )
     else:
         scores = predict_scores(
@@ -149,6 +159,7 @@ def main(argv=None):
             batch_size=args.batch_size, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
             mesh=mesh,
         )
+    elapsed = time.perf_counter() - t_run
     if len(scores) != len(ds):
         raise ValueError("Number of predictions does not match number of rows in features.pkl")
     if args.multihost:
@@ -158,6 +169,28 @@ def main(argv=None):
             return  # every process computed the full scores; one writes
     write_predictions(args.out, ds.uttids, scores)
     print(f"wrote {len(scores)} predictions to {args.out}")
+    if stats is not None and elapsed > 0:
+        # achieved throughput split by where the pipeline waited: host-wait
+        # = the device feed loop blocked on ingest (disk gather + cast);
+        # device-wait = compute still draining after ingest finished. The
+        # sustained rate of the overlapped pipeline is min(cast, device) —
+        # these counters make that observable without a profiler trace.
+        print(
+            f"throughput: {len(scores) / elapsed:,.1f} utt/s over {elapsed:.2f}s "
+            f"(host-wait {stats.host_wait_s:.2f}s, device-wait "
+            f"{stats.device_wait_s:.2f}s, {stats.items} batches)"
+        )
+        if stats.host_bound():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ingest-bound run: the device waited on host batch assembly "
+                "%.1fs vs %.1fs of device drain. Raise DFAC_TPU_INGEST_THREADS, "
+                "store features as a memory-mapped .npy corpus "
+                "(dfac-data-tools convert-to-npy), or use --multihost so each "
+                "host ingests only its row slice.",
+                stats.host_wait_s, stats.device_wait_s,
+            )
 
 
 if __name__ == "__main__":

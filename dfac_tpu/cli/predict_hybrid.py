@@ -33,18 +33,17 @@ def parse_args(argv=None):
                    "(bf16 with f32 accumulation; cnn2d/cnn1d + CAE)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (requires "
-                   "--fast with cnn2d; both legs run per shard)")
-    add_multihost_args(p, extra_help="requires --fast with cnn2d")
+                   "--fast; both legs run per shard)")
+    add_multihost_args(p, extra_help="requires --fast")
     p.add_argument("--device", default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.multihost and (not args.fast or args.cnn_model != "cnn2d"):
+    if args.multihost and not args.fast:
         raise SystemExit(
-            "--multihost hybrid serving runs the folded fast chains — "
-            "add --fast with --cnn-model cnn2d"
+            "--multihost hybrid serving runs the folded fast chains — add --fast"
         )
     if args.device:
         import jax
@@ -73,21 +72,22 @@ def main(argv=None):
     normalizer = FeatureNormalizer.load(args.normalizer)
 
     if args.data_parallel > 1:
-        if not args.fast or args.cnn_model != "cnn2d":
-            raise SystemExit("--data-parallel requires --fast with --cnn-model cnn2d")
+        if not args.fast:
+            raise SystemExit("--data-parallel hybrid serving requires --fast")
         if args.batch_size % args.data_parallel:
             raise SystemExit("--batch-size must divide by --data-parallel")
         import jax.numpy as jnp
         import numpy as np
 
-        from dfac_tpu.models.fast_infer import _ingest, fold_cae, fold_cnn2d
+        from dfac_tpu.models.fast_infer import _ingest, fold_cae, fold_cnn1d, fold_cnn2d
         from dfac_tpu.parallel.mesh import batch_sharding, make_mesh
         from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
         from dfac_tpu.train.evaluate import collect_masked_scores
 
         mesh = make_mesh(n_data=args.data_parallel)
-        scorer = make_sharded_hybrid_scorer(mesh)
-        folded_sup, folded_cae = fold_cnn2d(cnn_vars), fold_cae(cae_vars)
+        scorer = make_sharded_hybrid_scorer(mesh, model=args.cnn_model)
+        fold_sup = fold_cnn2d if args.cnn_model == "cnn2d" else fold_cnn1d
+        folded_sup, folded_cae = fold_sup(cnn_vars), fold_cae(cae_vars)
         mean = jnp.asarray(normalizer.mean)
         std = jnp.asarray(normalizer.std)
         shard = batch_sharding(mesh)

@@ -83,10 +83,6 @@ def parse_args(argv=None):
     add_multihost_args(p)
     add_swap_tf_args(p)
     args = p.parse_args(argv)
-    if args.multihost and (args.fused_fit or args.device_resident
-                           or args.resident_chunk_batches):
-        p.error("--multihost runs the host-loop DP path; it composes with none "
-                "of --fused-fit/--device-resident/--resident-chunk-batches")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -138,6 +134,14 @@ def main(argv=None):
     checkpoint_root = args.checkpoint_dir
     if args.run_name:
         checkpoint_root = os.path.join(checkpoint_root, args.run_name)
+    if args.multihost:
+        from dfac_tpu.parallel import multihost as mh
+
+        if not mh.is_coordinator():
+            # exactly one process per pod writes artifacts; trained state is
+            # replicated so the coordinator's copy IS the global model
+            # (Trainer.fit gates itself — this covers the fused branch too)
+            checkpoint_root = None
 
     train_ds = load_dataset(args.train_features, args.train_labels)
     dev_ds = load_dataset(args.dev_features, args.dev_labels)

@@ -47,10 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
-    if args.multihost and (args.fused_fit or args.device_resident
-                           or args.resident_chunk_batches):
-        p.error("--multihost runs the host-loop DP path; it composes with none "
-                "of --fused-fit/--device-resident/--resident-chunk-batches")
+    if args.multihost and (args.fused_fit or args.device_resident):
+        p.error("--multihost CAE training composes with the per-batch and "
+                "--resident-chunk-batches paths; the fused/resident CAE "
+                "programs are single-process")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "

@@ -171,10 +171,12 @@ def default_threads() -> int:
                 "DFAC_TPU_INGEST_THREADS=%r is not an integer; using the "
                 "default thread count", env,
             )
-    # a fixed pool of 8 beats min(8, cpu_count): the cast is memory/page-
-    # fault bound, so extra threads hide stalls even under a 1-core cgroup
-    # quota (measured 4.5 vs 3.8 GB/s on the 1-core CI host; numpy: 3.0)
-    return 8
+    # a floor of 8 beats min(8, cpu_count): the cast is memory/page-fault
+    # bound, so extra threads hide stalls even under a 1-core cgroup quota
+    # (measured 4.5 vs 3.8 GB/s on the 1-core CI host; numpy: 3.0). Hosts
+    # with more cores scale UP with them — pod hosts have dozens, and the
+    # cast is the serving pipeline's host-side floor.
+    return max(8, os.cpu_count() or 1)
 
 
 def _checked_idx(idx, n_rows: int) -> np.ndarray:

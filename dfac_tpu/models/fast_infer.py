@@ -134,6 +134,7 @@ def predict_scores_fast(
     swap_tf: bool = True,
     apply_sigmoid: bool = True,
     compute_dtype: Any = jnp.bfloat16,
+    stats=None,
 ):
     """Score a whole :class:`~dfac_tpu.data.pipeline.ArrayDataset` through
     the folded-BN serving chain; returns (N,) float32 in dataset order.
@@ -160,6 +161,7 @@ def predict_scores_fast(
         # host stage (memmap pull + bf16 cast + async upload) runs in the
         # prefetch thread, overlapping device scoring of the prior batch
         prepare_batch=lambda b: _ingest(b.features, compute_dtype),
+        stats=stats,
     )
 
 
@@ -331,6 +333,7 @@ def predict_scores_fast_cnn1d(
     swap_tf: bool = True,
     apply_sigmoid: bool = True,
     compute_dtype: Any = jnp.bfloat16,
+    stats=None,
 ):
     """Whole-dataset CNN1D scoring through the folded-BN chain; (N,) f32."""
     from dfac_tpu.train.evaluate import collect_masked_scores
@@ -343,6 +346,7 @@ def predict_scores_fast_cnn1d(
         ),
         ds, batch_size,
         prepare_batch=lambda b: _ingest(b.features, compute_dtype),
+        stats=stats,
     )
 
 

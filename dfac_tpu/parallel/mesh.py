@@ -51,6 +51,28 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_constrainer(mesh: Mesh | None):
+    """Sharding-constraint closure for GSPMD data parallelism: annotate an
+    in-program batch's leading axis onto the mesh's 'data' axis so the
+    partitioner shards the surrounding compute across devices (and inserts
+    the psums for grads / BatchNorm batch stats — the scaling-book recipe).
+    ``mesh=None`` returns identity, so call sites stay mesh-agnostic."""
+    if mesh is None:
+        return lambda x: x
+    sh = NamedSharding(mesh, P("data"))
+    return lambda x: jax.lax.with_sharding_constraint(x, sh)
+
+
+def replicated_jit(fn, mesh: Mesh | None):
+    """jit with fully-replicated out_shardings when a mesh is given — on a
+    multi-host mesh the host loop must be able to read every output
+    (losses, re-fed state) from its local shards. ``mesh=None`` is plain
+    ``jax.jit``."""
+    if mesh is None:
+        return jax.jit(fn)
+    return jax.jit(fn, out_shardings=replicate(mesh))
+
+
 def shard_model_params(
     params: Any, mesh: Mesh, min_shard_elems: int = 4096, placer=jax.device_put
 ) -> Any:

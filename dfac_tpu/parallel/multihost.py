@@ -86,16 +86,30 @@ def put_global(x: Any, sharding: NamedSharding) -> jax.Array:
     process materializes only its addressable shards from the full value.
     Drop-in ``placer`` for :func:`dfac_tpu.parallel.mesh.shard_train_state`.
     """
+    def host_value(v):
+        # jit outputs on a multi-host mesh are not fully addressable; their
+        # full value is still locally available when fully replicated (the
+        # case for every re-replication in the per-epoch loops)
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            if not v.sharding.is_fully_replicated:
+                raise ValueError(
+                    f"put_global needs the full value on this host, but the "
+                    f"input is non-addressable with sharding {v.sharding} — "
+                    "all-gather it first (gather_rows)"
+                )
+            return np.asarray(v.addressable_data(0))
+        return np.asarray(v)
+
     if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
         if not sharding.is_fully_replicated:
             raise ValueError("PRNG keys are only placed replicated")
-        data = np.asarray(jax.random.key_data(x))
+        data = host_value(jax.random.key_data(x))
         impl = jax.random.key_impl(x)
         global_data = jax.make_array_from_callback(
             data.shape, sharding, lambda idx: data[idx]
         )
         return jax.random.wrap_key_data(global_data, impl=impl)
-    x = np.asarray(x)
+    x = host_value(x)
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 

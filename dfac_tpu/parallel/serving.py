@@ -203,11 +203,13 @@ def make_sharded_hybrid_scorer(
     apply_sigmoid: bool = True,
     compute_dtype: Any = jnp.bfloat16,
     axis_name: str = "data",
+    model: str = "cnn2d",
 ):
     """jit'd sharded HYBRID scorer over precomputed features: both
-    submission legs — folded CNN2D sigmoid scores and folded CAE
-    per-sample reconstruction MSE — computed per shard from one
-    batch-sharded feature tensor.
+    submission legs — folded supervised sigmoid scores (cnn2d default, or
+    cnn1d folded params via ``model="cnn1d"``) and folded CAE per-sample
+    reconstruction MSE — computed per shard from one batch-sharded
+    feature tensor.
 
     ``(folded_sup, folded_cae, mean, std, feats (B, F, T)) ->
     ((B,) sup scores, (B,) mse)``; fusion (corpus-global min-max
@@ -220,16 +222,26 @@ def make_sharded_hybrid_scorer(
     """
     from dfac_tpu.models.fast_infer import (
         cae_fast_mse,
+        cnn1d_fast_scores,
         cnn2d_fast_scores,
         cnn2d_fast_scores_tf,
     )
 
+    if model not in ("cnn2d", "cnn1d"):
+        raise ValueError(f"no folded hybrid scorer for model {model!r} (cnn2d | cnn1d)")
+
     def per_shard(folded_sup, folded_cae, mean, std, feats):
-        score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
-        sup = score(
-            folded_sup, feats, apply_sigmoid=apply_sigmoid,
-            compute_dtype=compute_dtype,
-        )
+        if model == "cnn1d":
+            sup = cnn1d_fast_scores(
+                folded_sup, feats, swap_tf=swap_tf,
+                apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+            )
+        else:
+            score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
+            sup = score(
+                folded_sup, feats, apply_sigmoid=apply_sigmoid,
+                compute_dtype=compute_dtype,
+            )
         mse = cae_fast_mse(
             folded_cae, feats, mean, std, swap_tf=swap_tf,
             compute_dtype=compute_dtype,

@@ -73,14 +73,14 @@ class CAEConfig:
         if self.multihost:
             if self.data_parallel <= 1:
                 raise ValueError(
-                    "multihost runs the shard_map DP path — set data_parallel "
-                    "to the GLOBAL device count (all hosts' chips)"
+                    "multihost CAE training is data-parallel over the pod — "
+                    "set data_parallel to the GLOBAL device count"
                 )
-            if self.device_resident or self.resident_chunk_batches:
+            if self.device_resident:
                 raise ValueError(
-                    "multihost supports the host-loop DP path: the resident/"
-                    "chunked uploads are process-local device_put calls that "
-                    "cannot reach other hosts' devices"
+                    "multihost CAE training composes with the per-batch and "
+                    "chunked (resident_chunk_batches) paths; device_resident "
+                    "is single-process (use chunked streaming on pods)"
                 )
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
@@ -656,15 +656,29 @@ class CAETrainer:
                 elif cfg.resident_chunk_batches > 0:
                     # chunked streaming (corpora larger than HBM): G-batch
                     # scan dispatches, chunk upload overlapped; same
-                    # batches/PRNG chain as the host loop below
+                    # batches/PRNG chain as the host loop below. Composes
+                    # with --multihost: each process gathers its row slice
+                    # of every chunk batch, the scan runs one global
+                    # program per chunk (see chunked.stream_chunks).
                     from dfac_tpu.train.chunked import (
                         check_dp_tail,
                         chunk_scan_over,
                         stream_chunks,
+                        tail_ones,
                     )
 
                     n_ex = len(bona_train)
-                    check_dp_tail(n_ex, cfg.batch_size, dp, "chunked CAE training")
+                    what = (
+                        "multihost chunked CAE training" if cfg.multihost
+                        else "chunked CAE training"
+                    )
+                    check_dp_tail(n_ex, cfg.batch_size, dp, what)
+                    if cfg.multihost:
+                        from dfac_tpu.parallel import multihost as mh
+
+                        # global state before the pod-wide program (also
+                        # heals host-local LR-update leaves; idempotent)
+                        self.state = mh.replicate_tree(self.state, self.mesh)
                     if chunk_scan is None:
                         # fit-LOCAL (like train_step): the scan closes over
                         # THIS fit's normalizer mean/std — caching it on
@@ -679,6 +693,7 @@ class CAETrainer:
                         bona_train.features, (), order, cfg.batch_size,
                         cfg.resident_chunk_batches,
                         mesh=self.mesh if dp > 1 else None,
+                        multihost=cfg.multihost,
                     )
                     batches_done = 0  # the UI's unit is BATCHES, not chunks
                     for ci, full_b, tail_b in chunks:
@@ -693,7 +708,7 @@ class CAETrainer:
                             (feats_t,) = tail_b
                             self.state, loss_sum, n = train_step(
                                 self.state, feats_t,
-                                jnp.ones((feats_t.shape[0],), jnp.float32),
+                                tail_ones(feats_t.shape[0], self.mesh, cfg.multihost),
                             )
                             total, count = total + loss_sum, count + n
                             nr = feats_t.shape[0]

@@ -51,6 +51,8 @@ def stream_chunks(
     batch_size: int,
     chunk_batches: int,
     mesh=None,
+    multihost: bool = False,
+    stats=None,
 ):
     """Yield ``(ci, full, tail)`` device chunks over an epoch's ``order``.
 
@@ -64,20 +66,84 @@ def stream_chunks(
     holds at most TWO chunks: the one the device is scanning and the one
     uploading behind it. (A producer-side put would add a third: the
     prefetch queue's chunk.)
+
+    With ``multihost=True`` (one process per pod host, ``jax.distributed``
+    initialized, ``mesh`` spanning every host's devices), each process
+    gathers only ITS row slice of every batch in the chunk
+    (:func:`dfac_tpu.parallel.multihost.local_row_range` of the batch dim)
+    and the global ``(g, B, ...)`` arrays are assembled with
+    ``jax.make_array_from_process_local_data`` — ``device_put`` cannot
+    reach other hosts' devices. Every process must iterate the SAME
+    ``order`` (seeded identically). The chunk scan then runs one global
+    GSPMD program per chunk: large-program dispatch amortization and pod
+    data parallelism compose.
     """
     from dfac_tpu.io.prefetch import prefetched
 
     chunk_sh, tail_sh = chunk_shardings(mesh)
+    batch_slice = None
+    if multihost:
+        from dfac_tpu.parallel import multihost as mh
+
+        ranges: dict[int, tuple[int, int]] = {}
+
+        def batch_slice(b: int) -> tuple[int, int]:
+            if b not in ranges:
+                ranges[b] = mh.local_row_range(mesh, b)
+            return ranges[b]
+
+    # depth=1 bounds HBM to two chunks (the one scanning + the one behind
+    # it); ``stats`` (io.prefetch.PrefetchStats) records whether the epoch
+    # waited on the host gather (host-bound) or on device scans (healthy)
     host = prefetched(
-        host_chunks(feats_src, row_arrays, order, batch_size, chunk_batches),
+        host_chunks(
+            feats_src, row_arrays, order, batch_size, chunk_batches,
+            batch_slice=batch_slice,
+        ),
         depth=1,
+        stats=stats,
     )
+    if not multihost:
+        for ci, full, tail in host:
+            yield (
+                ci,
+                None if full is None else tuple(jax.device_put(a, chunk_sh) for a in full),
+                None if tail is None else tuple(jax.device_put(a, tail_sh) for a in tail),
+            )
+        return
+
+    t_global = len(order) % batch_size  # the one partial batch's TRUE size
     for ci, full, tail in host:
-        yield (
-            ci,
-            None if full is None else tuple(jax.device_put(a, chunk_sh) for a in full),
-            None if tail is None else tuple(jax.device_put(a, tail_sh) for a in tail),
-        )
+        out_full = out_tail = None
+        if full is not None:
+            g = full[0].shape[0]
+            out_full = tuple(
+                jax.make_array_from_process_local_data(
+                    chunk_sh, a, (g, batch_size) + a.shape[2:]
+                )
+                for a in full
+            )
+        if tail is not None:
+            out_tail = tuple(
+                jax.make_array_from_process_local_data(
+                    tail_sh, a, (t_global,) + a.shape[1:]
+                )
+                for a in tail
+            )
+        yield ci, out_full, out_tail
+
+
+def tail_ones(t: int, mesh=None, multihost: bool = False):
+    """Weights-of-ones for the epoch's tail batch. Single-host: a plain
+    device array. Multi-host: a global batch-sharded array (an uncommitted
+    ``jnp.ones`` cannot be committed to other hosts' devices, and the tail
+    runs through the same batch-sharded step as full batches)."""
+    if multihost:
+        from dfac_tpu.parallel import multihost as mh
+
+        lo, hi = mh.local_row_range(mesh, t)
+        return mh.batch_from_local(np.ones(hi - lo, np.float32), mesh, global_rows=t)
+    return jnp.ones((t,), jnp.float32)
 
 
 def host_chunks(
@@ -86,8 +152,13 @@ def host_chunks(
     order: np.ndarray,
     batch_size: int,
     chunk_batches: int,
+    batch_slice=None,
 ):
-    """The host stage of :func:`stream_chunks`: gather + reshape only."""
+    """The host stage of :func:`stream_chunks`: gather + reshape only.
+
+    ``batch_slice(b) -> (lo, hi)`` (optional) restricts every gathered
+    batch of global size ``b`` to its ``[lo, hi)`` row slice — the
+    multi-host caller's per-process shard of each batch."""
     from dfac_tpu.io.fastcast import gather_f32
 
     B, G, n = batch_size, chunk_batches, len(order)
@@ -98,13 +169,21 @@ def host_chunks(
         full = tail = None
         if g:
             fr = rows[: g * B]
+            w = B
+            if batch_slice is not None:
+                lo, hi = batch_slice(B)
+                w = hi - lo
+                fr = fr.reshape(g, B)[:, lo:hi].reshape(-1)
             f = gather_f32(feats_src, fr)
             full = (
-                f.reshape((g, B) + f.shape[1:]),
-                *(r[fr].reshape(g, B) for r in row_arrays),
+                f.reshape((g, w) + f.shape[1:]),
+                *(r[fr].reshape(g, w) for r in row_arrays),
             )
         trows = rows[g * B :]
         if len(trows):  # only ever the epoch's final partial batch
+            if batch_slice is not None:
+                tlo, thi = batch_slice(len(trows))
+                trows = trows[tlo:thi]
             tail = (gather_f32(feats_src, trows), *(r[trows] for r in row_arrays))
         yield ci, full, tail
 

@@ -70,14 +70,14 @@ class DetectorConfig:
         if self.multihost:
             if self.data_parallel <= 1:
                 raise ValueError(
-                    "multihost runs the shard_map DP path — set data_parallel "
-                    "to the GLOBAL device count (all hosts' chips)"
+                    "multihost detector training is data-parallel over the "
+                    "pod — set data_parallel to the GLOBAL device count"
                 )
-            if self.device_resident or self.resident_chunk_batches:
+            if self.device_resident:
                 raise ValueError(
-                    "multihost supports the host-loop DP path: the resident/"
-                    "chunked uploads are process-local device_put calls that "
-                    "cannot reach other hosts' devices"
+                    "multihost detector training composes with the per-batch "
+                    "and chunked (resident_chunk_batches) paths; "
+                    "device_resident is single-process (use chunked on pods)"
                 )
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
@@ -552,14 +552,26 @@ class DetectorTrainer:
             elif cfg.resident_chunk_batches > 0:
                 # chunked streaming (corpora larger than HBM): G-batch scan
                 # dispatches, chunk upload overlapped in a prefetch thread;
-                # same weighted sample sequence as the host loop below
+                # same weighted sample sequence as the host loop below.
+                # Composes with --multihost: each process gathers its row
+                # slice of every chunk batch; one global program per chunk.
                 from dfac_tpu.train.chunked import (
                     check_dp_tail,
                     chunk_scan_over,
                     stream_chunks,
+                    tail_ones,
                 )
 
-                check_dp_tail(n, cfg.batch_size, dp, "chunked detector training")
+                what = (
+                    "multihost chunked detector training" if cfg.multihost
+                    else "chunked detector training"
+                )
+                check_dp_tail(n, cfg.batch_size, dp, what)
+                if cfg.multihost:
+                    from dfac_tpu.parallel import multihost as mh
+
+                    # global state before the pod-wide program (idempotent)
+                    self.state = mh.replicate_tree(self.state, self.mesh)
                 if chunk_scan is None:
                     # scan over the SAME fit-local step the host loop
                     # dispatches (dp>1: the ones-appending DP wrapper) —
@@ -571,6 +583,7 @@ class DetectorTrainer:
                     train_ds.features, (lengths, labels.astype(np.float32)),
                     order, cfg.batch_size, cfg.resident_chunk_batches,
                     mesh=self.mesh if dp > 1 else None,
+                    multihost=cfg.multihost,
                 )
                 total_loss, n_batches = jnp.zeros(()), 0
                 for ci, full_b, tail_b in chunks:
@@ -579,7 +592,16 @@ class DetectorTrainer:
                         total_loss = total_loss + loss_sum  # lazy device accumulation
                         n_batches += full_b[0].shape[0]
                     if tail_b is not None:
-                        self.state, loss = train_step(self.state, *tail_b)
+                        if cfg.multihost:
+                            # the wrapper's uncommitted jnp.ones cannot be
+                            # committed to other hosts' devices — feed the
+                            # DP step a global batch-sharded weights vector
+                            self.state, loss = dp_step(
+                                self.state, *tail_b,
+                                tail_ones(tail_b[0].shape[0], self.mesh, True),
+                            )
+                        else:
+                            self.state, loss = train_step(self.state, *tail_b)
                         total_loss = total_loss + loss
                         n_batches += 1
                 total_loss = float(total_loss)

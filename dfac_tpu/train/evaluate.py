@@ -43,6 +43,7 @@ def collect_masked_scores(
     prefetch: int = 2,
     n_outputs: int = 1,
     gather: Callable | None = None,
+    stats=None,
 ) -> np.ndarray:
     """Run ``score_batch(batch) -> (B,) device scores`` over every padded
     batch, keep results on device, then do ONE host fetch and drop the
@@ -64,7 +65,11 @@ def collect_masked_scores(
     ``gather`` (optional) converts the concatenated device scores to a host
     array (default ``np.asarray``); multi-host callers pass
     :func:`dfac_tpu.parallel.multihost.gather_rows`, which allgathers rows
-    whose shards live on other hosts."""
+    whose shards live on other hosts.
+
+    ``stats`` (optional :class:`dfac_tpu.io.prefetch.PrefetchStats`)
+    records host-wait vs device-wait time, so callers can report whether
+    the run was ingest-bound or device-bound."""
     from dfac_tpu.io.prefetch import prefetched
 
     to_host = gather if gather is not None else np.asarray
@@ -75,20 +80,30 @@ def collect_masked_scores(
             yield prepared, batch.weights > 0
 
     chunks, masks = [], []
-    for prepared, mask in prefetched(produce(), depth=prefetch):
+    for prepared, mask in prefetched(produce(), depth=prefetch, stats=stats):
         chunks.append(score_batch(prepared))
         masks.append(mask)
     if not chunks:
         empty = np.zeros((0,), np.float32)
         return empty if n_outputs == 1 else (empty,) * n_outputs
     keep = np.concatenate(masks)
+    # the device dispatches above are async: whatever compute is still in
+    # flight when ingest finishes drains HERE, in the one host fetch. That
+    # drain is the device-bound share of the wall clock — fold it into the
+    # stats so host-bound vs device-bound is decidable from the counters.
+    import time as _time
+
+    t0 = _time.perf_counter()
     if n_outputs > 1:
-        return tuple(
+        out = tuple(
             to_host(jnp.concatenate([c[i] for c in chunks]))[keep]
             for i in range(n_outputs)
         )
-    flat = to_host(jnp.concatenate(chunks))
-    return flat[keep]
+    else:
+        out = to_host(jnp.concatenate(chunks))[keep]
+    if stats is not None:
+        stats.device_wait_s += _time.perf_counter() - t0
+    return out
 
 
 def predict_scores(
@@ -188,6 +203,7 @@ def make_resident_evaluator(
     swap_tf: bool = True,
     apply_sigmoid: bool = False,
     label_smoothing: float = 0.0,
+    mesh=None,
 ):
     """Whole-split evaluation as ONE device program over a resident corpus.
 
@@ -198,14 +214,20 @@ def make_resident_evaluator(
 
     The in-jit crossing search uses exact emulated-u64 products
     (``ops/wideint.py``), bit-exact at any dev-split size below 2^31 rows.
-    """
 
-    @jax.jit
+    With ``mesh``, each scanned batch is sharding-constrained onto the
+    mesh's 'data' axis (GSPMD data-parallel eval across the mesh — pods
+    included) and all outputs are replicated so every host can read them.
+    """
+    from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
+
+    constrain = batch_constrainer(mesh)
+
     def evaluate(variables, feats_all, labels_all, idx_mat, w_mat):
         def body(loss_acc, xs):
             idx, w = xs
-            feats = jnp.take(feats_all, jnp.maximum(idx, 0), axis=0)
-            labels = jnp.take(labels_all, jnp.maximum(idx, 0), axis=0)
+            feats = constrain(jnp.take(feats_all, jnp.maximum(idx, 0), axis=0))
+            labels = constrain(jnp.take(labels_all, jnp.maximum(idx, 0), axis=0))
             x = jnp.transpose(feats, (0, 2, 1)) if swap_tf else feats
             out = model.apply(variables, x)
             logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
@@ -222,7 +244,7 @@ def make_resident_evaluator(
         flat_labels = jnp.take(labels_all, jnp.maximum(flat_idx, 0), axis=0)
         return loss_sum, flat_scores, eer_counts_masked(flat_scores, flat_labels, flat_w)
 
-    return evaluate
+    return replicated_jit(evaluate, mesh)
 
 
 def evaluate_classifier(

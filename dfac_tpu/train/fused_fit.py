@@ -45,6 +45,7 @@ def _u64_pair(value: int) -> tuple:
 def make_fused_fit(
     model, tx, cfg, n_train: int, n_dev: int,
     start_epoch: int = 1, init_best: dict | None = None,
+    mesh=None,
 ):
     """Build the one-dispatch trainer for a (train, dev) corpus pair.
 
@@ -58,13 +59,21 @@ def make_fused_fit(
     ``start_epoch``/``init_best`` seed the carry for resume-into-fused:
     ``init_best`` keys (all optional): best_num (EER crossing numerator,
     -1 = unset), best_tl, best_dl, no_improve, sched_best, sched_bad, lr.
+
+    With ``mesh`` the program is GSPMD data-parallel over the mesh's 'data'
+    axis (train + eval batches sharding-constrained; outputs replicated) —
+    the ONE-dispatch-per-RUN multi-chip/multi-host training path: on a pod,
+    every process calls this with globally placed (replicated) corpora and
+    XLA runs a single global program; per-batch dispatch overhead
+    (docs/architecture.md rule 1) disappears for the whole run.
     """
     epoch_scan = make_epoch_scan(
         model, tx, cfg.swap_tf, cfg.label_smoothing, _augment(cfg),
-        n_examples=n_train, batch_size=cfg.batch_size,
+        n_examples=n_train, batch_size=cfg.batch_size, mesh=mesh,
     )
     evaluator = make_resident_evaluator(
-        model, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing
+        model, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing,
+        mesh=mesh,
     )
     plateau_on = cfg.lr_scheduler == "plateau"
     eer_tie_eps = 1e-4
@@ -77,7 +86,6 @@ def make_fused_fit(
         hp["learning_rate"] = lr
         return opt_state._replace(hyperparams=hp)
 
-    @jax.jit
     def fused(state: TrainState, tf, tl, df, dl, didx, dw):
         def variables_of(st):
             return {"params": st.params, "batch_stats": st.batch_stats}
@@ -206,7 +214,9 @@ def make_fused_fit(
         }
         return final_state, best_vars, aux, history
 
-    return fused
+    from dfac_tpu.parallel.mesh import replicated_jit
+
+    return replicated_jit(fused, mesh)
 
 
 def _augment(cfg):
@@ -234,13 +244,21 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
     checkpoint and continues the fused scan at the next epoch.
     """
     cfg = trainer.cfg
-    if cfg.data_parallel > 1:
+    multihost = cfg.multihost
+    if multihost and not getattr(trainer, "_gspmd_resident", False):
         raise ValueError(
-            "fit_fused is the single-device one-dispatch path (the trainer's "
+            "multihost fused fit requires device_resident=True in TrainConfig "
+            "(the trainer then builds the GSPMD model/step; dfac-train's "
+            "--fused-fit flag sets it automatically)"
+        )
+    if cfg.data_parallel > 1 and not multihost:
+        raise ValueError(
+            "fit_fused with data_parallel is the MULTIHOST GSPMD path "
+            "(--multihost --fused-fit): the single-process trainer's "
             "shard_map-DP model syncs BatchNorm with an axis_name that is "
-            "unbound outside shard_map); for multi-chip fused training run "
-            "the fused program with GSPMD input shardings on a "
-            "non-axis_name model instead (see __graft_entry__.dryrun_multichip)"
+            "unbound outside shard_map. For single-process multi-chip fused "
+            "training drop data_parallel (or see "
+            "__graft_entry__.dryrun_multichip for the raw GSPMD program)"
         )
     start_epoch = 1
     init_best: dict = {}
@@ -270,21 +288,33 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
 
     # dev split resident layout (shared with the per-epoch resident path)
     bs = cfg.eval_batch_size or cfg.batch_size
+    if multihost and bs % cfg.data_parallel != 0:
+        raise ValueError(
+            "multihost fused fit shards the eval batch over the pod — "
+            f"eval batch size {bs} must divide over {cfg.data_parallel} devices"
+        )
     n_b = -(-n_dev // bs)
     idx = np.full((n_b * bs,), -1, np.int32)
     idx[:n_dev] = np.arange(n_dev)
     w = np.zeros((n_b * bs,), np.float32)
     w[:n_dev] = 1.0
-    df = jax.device_put(jnp.asarray(dev_ds.features))
-    dl = jax.device_put(jnp.asarray(dev_ds.labels.astype(np.float32)))
+    put = trainer._resident_put()
+    df = put(dev_ds.features)
+    dl = put(dev_ds.labels.astype(np.float32))
     didx = jnp.asarray(idx.reshape(n_b, bs))
     dw = jnp.asarray(w.reshape(n_b, bs))
+    if multihost:
+        from dfac_tpu.parallel import multihost as mh
+
+        # state leaves become global arrays before the pod-wide program
+        trainer.state = mh.replicate_tree(trainer.state, trainer.mesh)
 
     fused_key = (len(train_ds), n_dev, start_epoch, tuple(sorted(init_best.items())))
     if getattr(trainer, "_fused_fn_key", None) != fused_key:
         trainer._fused_fn = make_fused_fit(
             trainer.model, trainer.tx, cfg, len(train_ds), n_dev,
             start_epoch=start_epoch, init_best=init_best,
+            mesh=trainer.mesh if multihost else None,
         )
         trainer._fused_fn_key = fused_key
     final_state, best_vars, aux, history = trainer._fused_fn(

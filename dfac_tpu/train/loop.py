@@ -38,6 +38,10 @@ from dfac_tpu.data.pipeline import ArrayDataset, batch_iterator, num_batches
 from dfac_tpu.models import build_model
 from dfac_tpu.obs.base import BatchMetrics, EpochMetrics, TrainingConfig, TrainingVisualizer
 from dfac_tpu.obs.noop import NoOpVisualizer
+from dfac_tpu.parallel.mesh import (
+    batch_constrainer as _batch_constrainer,
+    replicated_jit as _replicated_jit,
+)
 from dfac_tpu.train import checkpoint as ckpt_lib
 from dfac_tpu.utils.rng import train_key
 from dfac_tpu.train.evaluate import evaluate_classifier
@@ -92,18 +96,11 @@ class TrainConfig:
             raise ValueError("label_smoothing must be in [0, 0.5)")
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
-        if self.multihost:
-            if self.data_parallel <= 1:
-                raise ValueError(
-                    "multihost runs the shard_map DP path — set data_parallel "
-                    "to the GLOBAL device count (all hosts' chips)"
-                )
-            if self.device_resident or self.resident_chunk_batches:
-                raise ValueError(
-                    "multihost supports the host-loop DP path: the resident/"
-                    "chunked uploads are process-local device_put calls that "
-                    "cannot reach other hosts' devices"
-                )
+        if self.multihost and self.data_parallel <= 1:
+            raise ValueError(
+                "multihost training is data-parallel over the pod — set "
+                "data_parallel to the GLOBAL device count (all hosts' chips)"
+            )
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
         if self.resident_chunk_batches and self.device_resident:
@@ -135,20 +132,26 @@ def make_indexed_train_step(
     swap_tf: bool,
     label_smoothing: float,
     augment_fn: Callable | None,
+    mesh=None,
 ):
     """Device-resident variant: the full corpus lives in HBM; each step
     receives only an int32 index vector and gathers its batch on device —
     no per-step host->device feature transfer (the hot-loop H2D copy of the
-    reference's DataLoader, ``src/train.py:61-62``, disappears entirely)."""
+    reference's DataLoader, ``src/train.py:61-62``, disappears entirely).
+
+    With ``mesh``, the gathered batch is constrained onto the mesh's 'data'
+    axis and GSPMD data-parallelizes the step (the multi-host resident/fused
+    path: corpus replicated per host, compute sharded across the pod)."""
     base = make_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
+    base = base.__wrapped__ if hasattr(base, "__wrapped__") else base
+    constrain = _batch_constrainer(mesh)
 
-    @jax.jit
     def indexed_step(state: TrainState, feats_all, labels_all, idx, weights):
-        feats = jnp.take(feats_all, jnp.maximum(idx, 0), axis=0)
-        labels = jnp.take(labels_all, jnp.maximum(idx, 0), axis=0)
-        return base(state, feats, labels, weights)
+        feats = constrain(jnp.take(feats_all, jnp.maximum(idx, 0), axis=0))
+        labels = constrain(jnp.take(labels_all, jnp.maximum(idx, 0), axis=0))
+        return base(state, feats, labels, constrain(weights))
 
-    return indexed_step
+    return _replicated_jit(indexed_step, mesh)
 
 
 def make_epoch_scan(
@@ -159,6 +162,7 @@ def make_epoch_scan(
     augment_fn: Callable | None,
     n_examples: int,
     batch_size: int,
+    mesh=None,
 ):
     """One jit program for a FULL epoch: shuffle + ``lax.scan`` over the
     batches of a device-resident corpus. A single dispatch per epoch with a
@@ -171,14 +175,20 @@ def make_epoch_scan(
     separate traced step at its TRUE size inside the same program — still
     one dispatch, and no padded rows ever enter BatchNorm statistics
     (bit-exact reference smaller-final-batch semantics,
-    ``src/train.py:31-91``)."""
-    step = make_indexed_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
+    ``src/train.py:31-91``).
+
+    With ``mesh``, every batch inside the scan is sharding-constrained onto
+    the mesh's 'data' axis: the GSPMD partitioner data-parallelizes the
+    whole epoch program across the mesh (multi-host pods included — the
+    pod's one-dispatch-per-epoch training path)."""
+    step = make_indexed_train_step(
+        model, tx, swap_tf, label_smoothing, augment_fn, mesh=mesh
+    )
     # reuse the jitted step's traced body inside scan via its wrapped fn
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
     n_full = n_examples // batch_size
     tail = n_examples % batch_size
 
-    @jax.jit
     def epoch_scan(state: TrainState, feats_all, labels_all, epoch_seed):
         perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples).astype(jnp.int32)
         idx_mat = perm[: n_full * batch_size].reshape(n_full, batch_size)
@@ -200,7 +210,7 @@ def make_epoch_scan(
             loss, count = loss + tail_loss, count + tail_count
         return state_out, loss, count
 
-    return epoch_scan
+    return _replicated_jit(epoch_scan, mesh)
 
 
 def make_chunk_scan(
@@ -363,7 +373,13 @@ class Trainer:
                 # one progress UI per pod, not one per host process
                 self.visualizer = NoOpVisualizer()
         model_kwargs = _model_kwargs(cfg)
-        if cfg.data_parallel > 1:
+        # multihost + device_resident is the GSPMD resident/fused path: the
+        # replicated-corpus epoch scan with batch sharding constraints. The
+        # model must NOT bind an axis_name there — GSPMD computes global
+        # BatchNorm batch stats from the sharded batch by semantics, and an
+        # axis_name is only resolvable inside shard_map.
+        self._gspmd_resident = cfg.multihost and cfg.device_resident
+        if cfg.data_parallel > 1 and not self._gspmd_resident:
             # BatchNorm stats must sync over the mesh in the shard_map path.
             model_kwargs["axis_name"] = "data"
         self.model = model if model is not None else build_model(cfg.model, **model_kwargs)
@@ -380,14 +396,23 @@ class Trainer:
             else None
         )
         if cfg.data_parallel > 1:
-            from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
             from dfac_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(n_data=cfg.data_parallel)
-            self._train_step = make_shard_map_train_step(
-                self.model, self.tx, self.mesh, swap_tf=cfg.swap_tf,
-                label_smoothing=cfg.label_smoothing, augment_fn=self.augment_fn,
-            )
+            if self._gspmd_resident:
+                # GSPMD path: the plain step — sharding constraints in the
+                # resident epoch scan/fused program do the parallelizing
+                self._train_step = make_train_step(
+                    self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
+                    self.augment_fn,
+                )
+            else:
+                from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
+
+                self._train_step = make_shard_map_train_step(
+                    self.model, self.tx, self.mesh, swap_tf=cfg.swap_tf,
+                    label_smoothing=cfg.label_smoothing, augment_fn=self.augment_fn,
+                )
         else:
             self.mesh = None
             self._train_step = make_train_step(
@@ -455,8 +480,9 @@ class Trainer:
         cfg = self.cfg
         bs = cfg.eval_batch_size or cfg.batch_size
         if getattr(self, "_dev_resident_ds", None) is not dev_ds:
-            self._dev_feats = jax.device_put(jnp.asarray(dev_ds.features))
-            self._dev_labels = jax.device_put(jnp.asarray(dev_ds.labels.astype(np.float32)))
+            put = self._resident_put()
+            self._dev_feats = put(dev_ds.features)
+            self._dev_labels = put(dev_ds.labels.astype(np.float32))
             n = len(dev_ds)
             n_b = -(-n // bs)
             idx = np.full((n_b * bs,), -1, np.int32)
@@ -466,7 +492,8 @@ class Trainer:
             self._dev_idx = jnp.asarray(idx.reshape(n_b, bs))
             self._dev_w = jnp.asarray(w.reshape(n_b, bs))
             self._dev_eval = make_resident_evaluator(
-                self.model, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing
+                self.model, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing,
+                mesh=self.mesh if self._gspmd_resident else None,
             )
             # hold the reference: CPython reuses id() after GC, so a key
             # of id(ds) alone can silently alias a NEW dataset to the OLD
@@ -490,11 +517,26 @@ class Trainer:
             "threshold": float(thr),
         }
 
+    def _resident_put(self):
+        """Corpus placer for the resident paths: a plain ``device_put``
+        single-process; on a multi-host mesh the corpus is placed REPLICATED
+        over every host's devices (each process holds the full value — the
+        epoch scan's on-device gather-by-index needs all rows everywhere,
+        and the batch sharding constraints parallelize the compute)."""
+        if self.cfg.multihost:
+            from dfac_tpu.parallel import multihost as mh
+            from dfac_tpu.parallel.mesh import replicate
+
+            rep = replicate(self.mesh)
+            return lambda x: mh.put_global(np.asarray(x), rep)
+        return lambda x: jax.device_put(jnp.asarray(x))
+
     def _resident_arrays(self, ds: ArrayDataset):
         if getattr(self, "_resident_ds", None) is not ds:
-            self._resident_feats = jax.device_put(jnp.asarray(ds.features))
-            self._resident_labels = jax.device_put(
-                jnp.asarray((ds.labels if ds.labels is not None else np.zeros(len(ds))).astype(np.float32))
+            put = self._resident_put()
+            self._resident_feats = put(ds.features)
+            self._resident_labels = put(
+                (ds.labels if ds.labels is not None else np.zeros(len(ds))).astype(np.float32)
             )
             # hold the reference (id() can be reused after GC) and drop any
             # epoch-scan program built for a different corpus length — a
@@ -505,13 +547,17 @@ class Trainer:
                 self._epoch_scan = None
             if self._indexed_step is None:
                 self._indexed_step = make_indexed_train_step(
-                    self.model, self.tx, self.cfg.swap_tf, self.cfg.label_smoothing, self.augment_fn
+                    self.model, self.tx, self.cfg.swap_tf, self.cfg.label_smoothing,
+                    self.augment_fn,
+                    mesh=self.mesh if self._gspmd_resident else None,
                 )
         return self._resident_feats, self._resident_labels
 
     def train_epoch(self, ds: ArrayDataset, epoch: int, batch_ctx=None) -> float | None:
         cfg = self.cfg
-        resident = cfg.device_resident and cfg.data_parallel <= 1
+        resident = cfg.device_resident and (
+            cfg.data_parallel <= 1 or self._gspmd_resident
+        )
         # Loss accumulates as lazy device scalars; forcing a float per step
         # costs one device->host round trip per batch (ruinous on a remote
         # accelerator). Only a live progress UI pays that price.
@@ -551,6 +597,12 @@ class Trainer:
                 )
                 self._warned_live_ui = True
             feats_all, labels_all = self._resident_arrays(ds)
+            if cfg.multihost:
+                from dfac_tpu.parallel import multihost as mh
+
+                # state leaves must be global arrays before the GSPMD
+                # program (idempotent; also heals host-local LR updates)
+                self.state = mh.replicate_tree(self.state, self.mesh)
 
             if not live_ui:
                 # whole epoch as one lax.scan program: a single dispatch
@@ -560,6 +612,7 @@ class Trainer:
                     self._epoch_scan = make_epoch_scan(
                         self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
                         self.augment_fn, n_examples=len(ds), batch_size=cfg.batch_size,
+                        mesh=self.mesh if self._gspmd_resident else None,
                     )
                     self._epoch_scan_n = len(ds)
                 self.state, total_loss, total_count = self._epoch_scan(
@@ -660,11 +713,24 @@ class Trainer:
         (fastest, needs it to fit in HBM); the plain host loop dispatches
         per batch. Reference analogue: DataLoader worker streaming,
         ``/root/reference/src/train.py:31-62``."""
-        from dfac_tpu.train.chunked import check_dp_tail, chunk_scan_over, stream_chunks
+        from dfac_tpu.train.chunked import (
+            check_dp_tail,
+            chunk_scan_over,
+            stream_chunks,
+            tail_ones,
+        )
 
         cfg = self.cfg
         n, dp = len(ds), cfg.data_parallel
-        check_dp_tail(n, cfg.batch_size, dp, "chunked training")
+        what = "multihost chunked training" if cfg.multihost else "chunked training"
+        check_dp_tail(n, cfg.batch_size, dp, what)
+        if cfg.multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            # state leaves must be global before the multi-host program;
+            # re-placing each epoch also heals host-local leaves the
+            # scheduler's LR update injects (idempotent, tiny vs an epoch)
+            self.state = mh.replicate_tree(self.state, self.mesh)
         order = np.arange(n)
         np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
         labels_all = np.asarray(
@@ -677,9 +743,13 @@ class Trainer:
             self._chunk_scan = chunk_scan_over(
                 self._train_step, append_ones=True, track_count=True
             )
+        from dfac_tpu.io.prefetch import PrefetchStats
+
+        stats = PrefetchStats()
         chunks = stream_chunks(
             ds.features, (labels_all,), order, cfg.batch_size,
             cfg.resident_chunk_batches, mesh=self.mesh if dp > 1 else None,
+            multihost=cfg.multihost, stats=stats,
         )
         batches_done = 0  # the UI's progress unit is BATCHES, not chunks
         for ci, full, tail in chunks:
@@ -691,10 +761,23 @@ class Trainer:
                 feats_t, labels_t = tail
                 self.state, loss_sum, count = self._train_step(
                     self.state, feats_t, labels_t,
-                    jnp.ones((feats_t.shape[0],), jnp.float32),
+                    tail_ones(feats_t.shape[0], self.mesh, cfg.multihost),
                 )
                 batches_done += 1
                 after_step(batches_done - 1, loss_sum, count)
+        # epoch boundary forces a device sync anyway (loss fetch); a
+        # host-bound epoch means the chunk gather, not the scan, set the
+        # pace — surface it once (the fix is ingest-side, not model-side)
+        if stats.host_bound() and not getattr(self, "_warned_host_bound", False):
+            logging.getLogger(__name__).warning(
+                "chunked training is ingest-bound: the device waited %.1fs "
+                "on host chunk gathers (vs %.1fs gather-behind-scan). Raise "
+                "DFAC_TPU_INGEST_THREADS, store the corpus as memory-mapped "
+                ".npy (dfac-data-tools convert-to-npy), or grow "
+                "--resident-chunk-batches.",
+                stats.host_wait_s, stats.device_wait_s,
+            )
+            self._warned_host_bound = True
 
     def restore(self, ckpt_path: str) -> dict:
         """Resume from a checkpoint: model variables, optimizer state,
@@ -802,7 +885,11 @@ class Trainer:
             ) as batch_ctx:
                 train_loss = self.train_epoch(train_ds, epoch, batch_ctx)
 
-            if cfg.device_resident and cfg.data_parallel <= 1 and dev_ds.labels is not None:
+            if (
+                cfg.device_resident
+                and (cfg.data_parallel <= 1 or self._gspmd_resident)
+                and dev_ds.labels is not None
+            ):
                 dev_metrics = self._resident_dev_metrics(dev_ds)
             else:
                 dev_metrics, _, _ = evaluate_classifier(

@@ -156,7 +156,7 @@ def test_train_cli_fused_fit(corpus_dir, tmp_path):
     assert "params" in variables
 
 
-def test_predict_fast_matches_standard(corpus_dir, tmp_path):
+def test_predict_fast_matches_standard(corpus_dir, tmp_path, capsys):
     """--fast (folded-BN transpose-free serving chain) produces the same
     prediction.pkl as the standard model.apply path at f32 tolerance."""
     from dfac_tpu.cli import predict as predict_cli
@@ -182,6 +182,11 @@ def test_predict_fast_matches_standard(corpus_dir, tmp_path):
             "--batch-size", "8", *extra,
         ])
         outs[tag] = pd.read_pickle(path)
+
+    # the fast path reports achieved throughput split into host-wait vs
+    # device-wait (ingest observability); the std path does not
+    out_text = capsys.readouterr().out
+    assert "throughput:" in out_text and "host-wait" in out_text
 
     assert list(outs["fast"]["uttid"]) == list(outs["std"]["uttid"])
     np.testing.assert_allclose(

@@ -125,6 +125,39 @@ class TestPrefetched:
         it.close()  # must not deadlock; producer unblocks via stop event
         assert len(produced) < 1000
 
+    def test_stats_slow_producer_is_host_bound(self):
+        import time
+
+        from dfac_tpu.io.prefetch import PrefetchStats
+
+        def slow_gen():
+            for i in range(5):
+                time.sleep(0.05)  # host assembly is the bottleneck
+                yield i
+
+        stats = PrefetchStats()
+        assert list(prefetched(slow_gen(), depth=2, stats=stats)) == list(range(5))
+        assert stats.items == 5
+        assert stats.host_wait_s > stats.device_wait_s
+        # the predicate itself, independent of wall-clock noise
+        assert PrefetchStats(host_wait_s=2.0, device_wait_s=0.5).host_bound()
+        assert not PrefetchStats(host_wait_s=0.1, device_wait_s=0.0).host_bound()
+        assert not PrefetchStats(host_wait_s=2.0, device_wait_s=1.5).host_bound()
+
+    def test_stats_slow_consumer_is_device_bound(self):
+        import time
+
+        from dfac_tpu.io.prefetch import PrefetchStats
+
+        stats = PrefetchStats()
+        out = []
+        for item in prefetched(iter(range(5)), depth=1, stats=stats):
+            time.sleep(0.05)  # consumer (device) is the bottleneck
+            out.append(item)
+        assert out == list(range(5))
+        assert stats.device_wait_s > stats.host_wait_s
+        assert not stats.host_bound()
+
 
 class TestIngestIntegration:
     def test_collect_masked_scores_prepare_parity(self, rng):

@@ -30,6 +30,7 @@ from dfac_tpu.parallel.mesh import make_mesh
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
+WORKER2 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker2.py")
 
 
 def _free_port() -> int:
@@ -38,9 +39,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cluster_parity():
-    """2 processes x 4 devices: GSPMD step, shard_map DP step, sharded eval,
-    and the folded fast serving chain all match single-device references."""
+def _run_cluster(worker: str) -> None:
     env = os.environ.copy()
     # The worker configures its own backend (cpu, 4 local devices); the
     # suite's 8-device XLA flag must not leak in.
@@ -50,7 +49,7 @@ def test_two_process_cluster_parity():
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(pid)],
+            [sys.executable, worker, str(port), str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
         for pid in range(2)
@@ -67,6 +66,19 @@ def test_two_process_cluster_parity():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"ALL OK {pid}" in out, f"worker {pid} incomplete:\n{out[-4000:]}"
+
+
+def test_two_process_cluster_parity():
+    """2 processes x 4 devices: GSPMD step, shard_map DP step, sharded eval,
+    and the folded fast serving chain all match single-device references."""
+    _run_cluster(WORKER)
+
+
+def test_two_process_large_program_compositions():
+    """2 processes x 4 devices: chunked streaming on all three trainers,
+    the GSPMD resident epoch scan, the fused whole-run fit, and mid-run LR
+    re-replication all match single-device references (round 4)."""
+    _run_cluster(WORKER2)
 
 
 def test_local_row_range_single_process():
@@ -111,7 +123,7 @@ def test_predict_multihost_requires_fast():
             "--features", "x.pkl", "--checkpoint", "c.ckpt",
             "--model", "cnn2d", "--out", "o.pkl", "--multihost",
         ])
-    with pytest.raises(SystemExit, match="--fast with"):
+    with pytest.raises(SystemExit, match="add --fast"):
         hybrid_main([
             "--features", "x.pkl", "--cnn-checkpoint", "c.ckpt",
             "--cae-checkpoint", "a.ckpt", "--normalizer", "n.npz",
@@ -120,13 +132,25 @@ def test_predict_multihost_requires_fast():
 
 
 def test_multihost_config_validation():
-    """multihost requires DP and rejects the process-local upload modes."""
+    """multihost requires DP; the supervised trainer now composes with the
+    resident (GSPMD), chunked, and fused paths, while the CAE/detector
+    trainers compose with chunked but keep their single-process resident
+    programs out."""
+    from dfac_tpu.train.cae_loop import CAEConfig
+    from dfac_tpu.train.detector_loop import DetectorConfig
     from dfac_tpu.train.loop import TrainConfig
 
     with pytest.raises(ValueError, match="GLOBAL device count"):
         TrainConfig(multihost=True)
-    with pytest.raises(ValueError, match="host-loop DP path"):
-        TrainConfig(multihost=True, data_parallel=8, device_resident=True)
+    # round 4: these compose (GSPMD resident / multihost chunked)
+    TrainConfig(multihost=True, data_parallel=8, device_resident=True)
+    TrainConfig(multihost=True, data_parallel=8, resident_chunk_batches=4)
+    CAEConfig(multihost=True, data_parallel=8, resident_chunk_batches=4)
+    DetectorConfig(multihost=True, data_parallel=8, resident_chunk_batches=4)
+    with pytest.raises(ValueError, match="single-process"):
+        CAEConfig(multihost=True, data_parallel=8, device_resident=True)
+    with pytest.raises(ValueError, match="single-process"):
+        DetectorConfig(multihost=True, data_parallel=8, device_resident=True)
 
 
 def test_broadcast_pyobj_single_process():

@@ -445,6 +445,47 @@ def test_sharded_hybrid_scorer_matches_single_device(rng, eight_devices):
     np.testing.assert_allclose(np.asarray(mse_sh), np.asarray(mse_ref), rtol=2e-5, atol=1e-6)
 
 
+def test_sharded_hybrid_scorer_cnn1d_leg(rng, eight_devices):
+    """The hybrid scorer's supervised leg with model='cnn1d' (the
+    dfac-predict-hybrid --fast --data-parallel/--multihost --cnn-model
+    cnn1d path) must match the single-device folded CNN1D chain."""
+    import pytest
+
+    from dfac_tpu.models.fast_infer import (
+        cae_fast_mse,
+        cnn1d_fast_scores,
+        fold_cae,
+        fold_cnn1d,
+    )
+    from dfac_tpu.parallel.serving import make_sharded_hybrid_scorer
+
+    F, T, B = 36, 33, 16
+    sup_model = build_model("cnn1d", in_channels=F)
+    cae_model = build_model("cae", base_channels=4)
+    sup_vars = sup_model.init({"params": jax.random.key(2)}, jnp.zeros((1, T, F)))
+    cae_vars = cae_model.init({"params": jax.random.key(3)}, jnp.zeros((1, F, T)))
+    for variables in (sup_vars, cae_vars):
+        for name, d in variables["batch_stats"].items():
+            d["mean"] = jnp.asarray(rng.normal(size=d["mean"].shape) * 0.2, jnp.float32)
+            d["var"] = jnp.asarray(rng.random(d["var"].shape) + 0.5, jnp.float32)
+    folded_sup, folded_cae = fold_cnn1d(sup_vars), fold_cae(cae_vars)
+    mean = jnp.asarray(rng.normal(size=(F,)), jnp.float32)
+    std = jnp.asarray(rng.random(F) + 0.5, jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, F, T)).astype(np.float32))
+
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    scorer = make_sharded_hybrid_scorer(mesh, compute_dtype=jnp.float32, model="cnn1d")
+    sup_sh, mse_sh = scorer(folded_sup, folded_cae, mean, std, feats)
+
+    sup_ref = cnn1d_fast_scores(folded_sup, feats, compute_dtype=jnp.float32)
+    mse_ref = cae_fast_mse(folded_cae, feats, mean, std, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(sup_sh), np.asarray(sup_ref), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mse_sh), np.asarray(mse_ref), rtol=2e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="no folded hybrid scorer"):
+        make_sharded_hybrid_scorer(mesh, model="crnn")
+
+
 def test_dp_dropout_masks_differ_across_shards(eight_devices):
     """The DP train step folds the shard index into the dropout key; a
     replicated key would zero identical activation positions on every
