@@ -78,11 +78,35 @@ def parse_args(argv=None):
                         "as one compiled program (implies --device-resident; no live UI)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a checkpoint (model+optimizer+scheduler+epoch)")
+    p.add_argument("--bn-freeze-after", type=float, default=0.0, metavar="FRAC",
+                   help="fast-numerics recipe: freeze BatchNorm (running-stats "
+                        "forward, no stat updates) for epochs after FRAC of the "
+                        "schedule (0 disables; quality A/B: results/train_fast_ab.md)")
+    p.add_argument("--train-fast", action="store_true",
+                   help="opt-in fast-numerics recipe, EER-parity-gated in "
+                        "results/train_fast_ab.md: dropout-free training, plus a "
+                        "BN freeze tail (2nd half of the schedule) on the "
+                        "single-device per-epoch paths; throughput numbers: "
+                        "scripts/train_fast_probe.py")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run to this directory")
     add_multihost_args(p)
     add_swap_tf_args(p)
     args = p.parse_args(argv)
+    if args.train_fast:
+        # the fastest recipe that PASSes the EER gate (results/
+        # train_fast_ab.md): drop dropout entirely; add the BN freeze
+        # tail where the per-epoch program switch exists (single-device
+        # paths; fused compiles ONE program, DP/multihost not yet wired)
+        args.dropout = 0.0
+        if (
+            not args.fused_fit and not args.bn_freeze_after
+            and args.data_parallel <= 1 and not args.multihost
+        ):
+            args.bn_freeze_after = 0.5
+    if args.fused_fit and args.bn_freeze_after:
+        p.error("--fused-fit compiles one program for the whole run; the BN "
+                "freeze-tail switch is per-epoch — drop one")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -172,6 +196,7 @@ def main(argv=None):
         resident_chunk_batches=args.resident_chunk_batches,
         checkpoint_format=args.checkpoint_format,
         multihost=args.multihost,
+        bn_freeze_after_frac=args.bn_freeze_after,
     )
 
     visualizer = create_visualizer(

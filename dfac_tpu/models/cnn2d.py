@@ -38,8 +38,16 @@ class CNN2D(nn.Module):
         x: jax.Array,
         train: bool = False,
         return_embedding: bool = False,
+        bn_frozen: bool = False,
     ):
-        """x: (B, T, F) in model-view orientation (after swap_tf)."""
+        """x: (B, T, F) in model-view orientation (after swap_tf).
+
+        ``bn_frozen`` (only meaningful with ``train=True``): BatchNorm uses
+        its RUNNING stats in the forward and stops updating them — the
+        freeze-tail training recipe (torch's ``bn.eval()`` during training).
+        Dropout stays governed by ``train``. Skips the batch-stat
+        reduction and the running-stats update traffic in the train step.
+        """
         bc = self.base_channels
         dt = self.compute_dtype
         h = x[..., None].astype(dt or x.dtype)  # (B, T, F, 1)
@@ -47,7 +55,7 @@ class CNN2D(nn.Module):
         for i, ch in enumerate((bc, bc * 2, bc * 4)):
             h = Conv(ch, (3, 3), dtype=dt, name=f"conv{i + 1}")(h)
             h = TorchBatchNorm(axis_name=self.axis_name, dtype=dt, name=f"bn{i + 1}")(
-                h, use_running_average=not train
+                h, use_running_average=(not train) or bn_frozen
             )
             h = nn.relu(h)
             if i < 2:

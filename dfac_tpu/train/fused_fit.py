@@ -244,6 +244,11 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
     checkpoint and continues the fused scan at the next epoch.
     """
     cfg = trainer.cfg
+    if cfg.bn_freeze_after_frac:
+        raise ValueError(
+            "fit_fused does not implement the BN freeze-tail program switch "
+            "— use the per-epoch trainer (drop --fused-fit or --bn-freeze-after)"
+        )
     multihost = cfg.multihost
     if multihost and not getattr(trainer, "_gspmd_resident", False):
         raise ValueError(

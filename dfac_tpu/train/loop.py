@@ -90,10 +90,23 @@ class TrainConfig:
     # jax.distributed initialized): each process feeds its row slice of
     # every global batch; checkpoints/UI stay on the coordinator
     multihost: bool = False
+    # fast-numerics recipe: freeze BatchNorm (running-stats forward, no
+    # stat updates) for the tail of the schedule — epochs AFTER
+    # round(epochs * frac) train with frozen BN. 0 disables. Quality gate
+    # and throughput rationale: results/train_fast_ab.md
+    bn_freeze_after_frac: float = 0.0
 
     def __post_init__(self):
         if not (0.0 <= self.label_smoothing < 0.5):
             raise ValueError("label_smoothing must be in [0, 0.5)")
+        if not (0.0 <= self.bn_freeze_after_frac <= 1.0):
+            raise ValueError("bn_freeze_after_frac must be in [0, 1]")
+        if self.bn_freeze_after_frac and (self.data_parallel > 1 or self.multihost):
+            raise ValueError(
+                "bn_freeze_after_frac is wired for the single-device paths "
+                "(host loop / device_resident / chunked); drop it or the "
+                "data_parallel/multihost flags"
+            )
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
         if self.multihost and self.data_parallel <= 1:
@@ -133,6 +146,7 @@ def make_indexed_train_step(
     label_smoothing: float,
     augment_fn: Callable | None,
     mesh=None,
+    bn_frozen: bool = False,
 ):
     """Device-resident variant: the full corpus lives in HBM; each step
     receives only an int32 index vector and gathers its batch on device —
@@ -142,7 +156,9 @@ def make_indexed_train_step(
     With ``mesh``, the gathered batch is constrained onto the mesh's 'data'
     axis and GSPMD data-parallelizes the step (the multi-host resident/fused
     path: corpus replicated per host, compute sharded across the pod)."""
-    base = make_train_step(model, tx, swap_tf, label_smoothing, augment_fn)
+    base = make_train_step(
+        model, tx, swap_tf, label_smoothing, augment_fn, bn_frozen=bn_frozen
+    )
     base = base.__wrapped__ if hasattr(base, "__wrapped__") else base
     constrain = _batch_constrainer(mesh)
 
@@ -163,6 +179,7 @@ def make_epoch_scan(
     n_examples: int,
     batch_size: int,
     mesh=None,
+    bn_frozen: bool = False,
 ):
     """One jit program for a FULL epoch: shuffle + ``lax.scan`` over the
     batches of a device-resident corpus. A single dispatch per epoch with a
@@ -182,7 +199,8 @@ def make_epoch_scan(
     whole epoch program across the mesh (multi-host pods included — the
     pod's one-dispatch-per-epoch training path)."""
     step = make_indexed_train_step(
-        model, tx, swap_tf, label_smoothing, augment_fn, mesh=mesh
+        model, tx, swap_tf, label_smoothing, augment_fn, mesh=mesh,
+        bn_frozen=bn_frozen,
     )
     # reuse the jitted step's traced body inside scan via its wrapped fn
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
@@ -268,6 +286,7 @@ def make_train_step(
     swap_tf: bool,
     label_smoothing: float,
     augment_fn: Callable | None,
+    bn_frozen: bool = False,
 ):
     """Build the jit'd supervised train step (one fused device program).
 
@@ -277,13 +296,19 @@ def make_train_step(
     but with the backward's pass structure under our control; it also
     regenerates dropout bytes in the backward rather than storing them
     (~0.7 GB/step less HBM traffic at B=512). The flax-AD path remains for
-    every other model and for data-parallel BN (``axis_name`` sync)."""
+    every other model and for data-parallel BN (``axis_name`` sync).
+
+    ``bn_frozen=True`` builds the freeze-tail variant (BatchNorm runs on
+    its running stats and stops updating them — the ``--bn-freeze-after``
+    recipe): flax-AD path, models that take the ``bn_frozen`` kwarg
+    (CNN2D)."""
     from dfac_tpu.models.cnn2d import CNN2D
 
     if (
         isinstance(model, CNN2D)
         and model.axis_name is None
         and model.num_classes == 1
+        and not bn_frozen
     ):
         from dfac_tpu.ops.train_chain import cnn2d_hand_loss_and_grad
 
@@ -324,8 +349,10 @@ def make_train_step(
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            extra = {"bn_frozen": True} if bn_frozen else {}
             out, mutated = model.apply(
-                variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": drop_key}
+                variables, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key}, **extra,
             )
             logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
             per = optax.sigmoid_binary_cross_entropy(logits, smooth_labels(labels, label_smoothing))
@@ -421,9 +448,30 @@ class Trainer:
         self._indexed_step = None
         self._epoch_scan = None
         self._chunk_scan = None
+        # lazily built bn-frozen variants of the above (the freeze-tail
+        # recipe switches programs at the boundary epoch)
+        self._train_step_frozen = None
+        self._indexed_step_frozen = None
+        self._epoch_scan_frozen = None
+        self._chunk_scan_frozen = None
         self.history: list[EpochMetrics] = []
         self.state: TrainState | None = None
         self._lr = cfg.lr
+
+    def _bn_frozen_at(self, epoch: int) -> bool:
+        """True when ``epoch`` trains with frozen BatchNorm under the
+        ``bn_freeze_after_frac`` recipe (epochs after round(epochs*frac))."""
+        frac = self.cfg.bn_freeze_after_frac
+        return bool(frac) and epoch > round(self.cfg.epochs * frac)
+
+    def _frozen_train_step(self):
+        if self._train_step_frozen is None:
+            cfg = self.cfg
+            self._train_step_frozen = make_train_step(
+                self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
+                self.augment_fn, bn_frozen=True,
+            )
+        return self._train_step_frozen
 
     # -- state ------------------------------------------------------------
     def init_state(self, example_batch: np.ndarray) -> TrainState:
@@ -545,6 +593,7 @@ class Trainer:
             self._resident_ds = ds
             if getattr(self, "_epoch_scan_n", None) != len(ds):
                 self._epoch_scan = None
+                self._epoch_scan_frozen = None
             if self._indexed_step is None:
                 self._indexed_step = make_indexed_train_step(
                     self.model, self.tx, self.cfg.swap_tf, self.cfg.label_smoothing,
@@ -604,29 +653,45 @@ class Trainer:
                 # program (idempotent; also heals host-local LR updates)
                 self.state = mh.replicate_tree(self.state, self.mesh)
 
+            frozen = self._bn_frozen_at(epoch)
             if not live_ui:
                 # whole epoch as one lax.scan program: a single dispatch
                 # with a scalar seed — the shuffle permutation is drawn on
                 # device, so nothing crosses the host boundary per epoch
-                if self._epoch_scan is None:
+                if frozen and self._epoch_scan_frozen is None:
+                    self._epoch_scan_frozen = make_epoch_scan(
+                        self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
+                        self.augment_fn, n_examples=len(ds), batch_size=cfg.batch_size,
+                        bn_frozen=True,
+                    )
+                if not frozen and self._epoch_scan is None:
                     self._epoch_scan = make_epoch_scan(
                         self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
                         self.augment_fn, n_examples=len(ds), batch_size=cfg.batch_size,
                         mesh=self.mesh if self._gspmd_resident else None,
                     )
-                    self._epoch_scan_n = len(ds)
-                self.state, total_loss, total_count = self._epoch_scan(
+                self._epoch_scan_n = len(ds)
+                scan = self._epoch_scan_frozen if frozen else self._epoch_scan
+                self.state, total_loss, total_count = scan(
                     self.state, feats_all, labels_all,
                     np.int64(cfg.seed * 100003 + epoch),
                 )
             else:
                 # true-size tail batch (one extra compiled shape) — padded
                 # rows must not enter BatchNorm statistics
+                step = self._indexed_step
+                if frozen:
+                    if self._indexed_step_frozen is None:
+                        self._indexed_step_frozen = make_indexed_train_step(
+                            self.model, self.tx, cfg.swap_tf,
+                            cfg.label_smoothing, self.augment_fn, bn_frozen=True,
+                        )
+                    step = self._indexed_step_frozen
                 order = np.arange(len(ds))
                 np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
                 for i, start in enumerate(range(0, len(ds), cfg.batch_size)):
                     idx = order[start : start + cfg.batch_size]
-                    self.state, loss_sum, count = self._indexed_step(
+                    self.state, loss_sum, count = step(
                         self.state, feats_all, labels_all,
                         jnp.asarray(idx.astype(np.int32)),
                         jnp.ones(len(idx), jnp.float32),
@@ -637,6 +702,10 @@ class Trainer:
         else:
             from dfac_tpu.io.prefetch import prefetched
 
+            step = (
+                self._frozen_train_step() if self._bn_frozen_at(epoch)
+                else self._train_step
+            )
             # host batch assembly (shuffled row gather) overlaps the
             # previous step's device dispatch via a one-thread pipeline
             for i, batch in enumerate(
@@ -645,7 +714,7 @@ class Trainer:
                     seed=cfg.seed * 100003 + epoch, pad_tail=False,
                 ))
             ):
-                self.state, loss_sum, count = self._train_step(
+                self.state, loss_sum, count = step(
                     self.state,
                     jnp.asarray(batch.features),
                     jnp.asarray(batch.labels),
@@ -736,13 +805,20 @@ class Trainer:
         labels_all = np.asarray(
             ds.labels if ds.labels is not None else np.zeros(n), np.float32
         )
-        if self._chunk_scan is None:
+        frozen = self._bn_frozen_at(epoch)
+        step = self._frozen_train_step() if frozen else self._train_step
+        if frozen and self._chunk_scan_frozen is None:
+            self._chunk_scan_frozen = chunk_scan_over(
+                step, append_ones=True, track_count=True
+            )
+        if not frozen and self._chunk_scan is None:
             # scan over the SAME step Trainer dispatches per batch —
             # self._train_step is already the shard_map DP step (dp>1) or
             # make_train_step; one construction, no divergence risk
             self._chunk_scan = chunk_scan_over(
                 self._train_step, append_ones=True, track_count=True
             )
+        chunk_scan = self._chunk_scan_frozen if frozen else self._chunk_scan
         from dfac_tpu.io.prefetch import PrefetchStats
 
         stats = PrefetchStats()
@@ -754,12 +830,12 @@ class Trainer:
         batches_done = 0  # the UI's progress unit is BATCHES, not chunks
         for ci, full, tail in chunks:
             if full is not None:
-                self.state, loss_sum, count = self._chunk_scan(self.state, *full)
+                self.state, loss_sum, count = chunk_scan(self.state, *full)
                 batches_done += full[0].shape[0]
                 after_step(batches_done - 1, loss_sum, count)
             if tail is not None:
                 feats_t, labels_t = tail
-                self.state, loss_sum, count = self._train_step(
+                self.state, loss_sum, count = step(
                     self.state, feats_t, labels_t,
                     tail_ones(feats_t.shape[0], self.mesh, cfg.multihost),
                 )

@@ -35,6 +35,7 @@ JOBS = [
     ("ingest", [sys.executable, "scripts/ingest_probe.py"], 3600),
     ("hybrid", [sys.executable, "scripts/hybrid_profile.py"], 3600),
     ("chunked", [sys.executable, "scripts/chunked_probe.py"], 3600),
+    ("trainfast", [sys.executable, "scripts/train_fast_probe.py"], 3600),
     ("bench", [sys.executable, "bench.py"], 3600),
 ]
 

@@ -261,3 +261,31 @@ def test_predict_fast_cnn1d_matches_standard(corpus_dir, tmp_path):
         np.testing.assert_allclose(
             outs["fast_dp"]["predictions"], outs["fast"]["predictions"], atol=1e-6
         )
+
+
+def test_train_fast_recipe_flag():
+    """--train-fast resolves to the EER-parity-gated fast recipe
+    (results/train_fast_ab.md): dropout 0, BN freeze tail where the
+    per-epoch program switch exists."""
+    from dfac_tpu.cli.train import parse_args
+
+    base = [
+        "--train-features", "t.pkl", "--train-labels", "tl.pkl",
+        "--dev-features", "d.pkl", "--dev-labels", "dl.pkl",
+    ]
+    a = parse_args(base + ["--train-fast"])
+    assert a.dropout == 0.0 and a.bn_freeze_after == 0.5
+    # fused compiles one program for the whole run: dropout-free only
+    a = parse_args(base + ["--train-fast", "--fused-fit"])
+    assert a.dropout == 0.0 and a.bn_freeze_after == 0.0
+    # DP paths: dropout-free only (freeze switch not wired there)
+    a = parse_args(base + ["--train-fast", "--data-parallel", "4"])
+    assert a.dropout == 0.0 and a.bn_freeze_after == 0.0
+    # an explicit user FRAC wins over the recipe default
+    a = parse_args(base + ["--train-fast", "--bn-freeze-after", "0.8"])
+    assert a.bn_freeze_after == 0.8
+    # explicit freeze + fused is still rejected
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        parse_args(base + ["--fused-fit", "--bn-freeze-after", "0.5"])

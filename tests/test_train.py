@@ -248,3 +248,98 @@ def test_bf16_training_step_compiles_and_is_finite(rng, model_name):
     trainer.init_state(ds.features[:4])
     loss = trainer.train_epoch(ds, 1, None)
     assert loss is not None and np.isfinite(loss)
+
+
+def test_bn_freeze_tail_recipe(rng):
+    """--bn-freeze-after: epochs after round(epochs*frac) train with BN on
+    running stats and stop updating them (the fast-numerics freeze-tail
+    recipe, results/train_fast_ab.md); params keep training."""
+    import jax
+
+    ds = _separable_dataset(rng, n=48)
+    cfg = TrainConfig(
+        model="cnn2d", batch_size=16, epochs=4, in_features=16, seed=0,
+        dropout=0.2, bn_freeze_after_frac=0.5,
+    )
+    trainer = Trainer(cfg)
+    trainer.init_state(ds.features[:16])
+    assert [trainer._bn_frozen_at(e) for e in range(1, 5)] == [
+        False, False, True, True,
+    ]
+
+    # warmup epochs update running stats
+    stats0 = jax.device_get(trainer.state.batch_stats)
+    trainer.train_epoch(ds, 1, None)
+    trainer.train_epoch(ds, 2, None)
+    stats_warm = jax.device_get(trainer.state.batch_stats)
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), stats0, stats_warm
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+    # frozen epochs: stats bit-identical, params still moving
+    params_before = jax.device_get(trainer.state.params)
+    loss3 = trainer.train_epoch(ds, 3, None)
+    loss4 = trainer.train_epoch(ds, 4, None)
+    assert np.isfinite(loss3) and np.isfinite(loss4)
+    stats_frozen = jax.device_get(trainer.state.batch_stats)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b), stats_warm, stats_frozen
+    )
+    params_after = jax.device_get(trainer.state.params)
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), params_before, params_after
+    )
+    assert max(jax.tree.leaves(deltas)) > 0.0
+
+
+def test_bn_freeze_paths_agree(rng):
+    """The freeze-tail recipe walks the same trajectory through the plain
+    host loop, the device-resident epoch scan, and chunked streaming
+    (identical batches + PRNG chain; floats agree up to XLA reassociation
+    across the differently compiled programs)."""
+    ds = _separable_dataset(rng, n=40)
+    base = dict(
+        model="cnn2d", batch_size=16, epochs=4, in_features=16, seed=0,
+        dropout=0.0, bn_freeze_after_frac=0.5,
+    )
+    import jax
+
+    losses = {}
+    for tag, extra in (
+        ("host", {}),
+        ("resident", {"device_resident": True}),
+        ("chunked", {"resident_chunk_batches": 2}),
+    ):
+        trainer = Trainer(TrainConfig(**base, **extra))
+        trainer.init_state(ds.features[:16])
+        losses[tag] = [trainer.train_epoch(ds, e, None) for e in (1, 2)]
+        stats_warm = jax.device_get(trainer.state.batch_stats)
+        losses[tag] += [trainer.train_epoch(ds, e, None) for e in (3, 4)]
+        # the freeze boundary must hold in EVERY path: epochs 3-4 leave the
+        # running stats bit-identical
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, b),
+            stats_warm, jax.device_get(trainer.state.batch_stats),
+        )
+    # host loop and chunked share the SAME host-side shuffle and key chain;
+    # the scan body and the standalone step compile as different programs,
+    # so floats drift through Adam — the established chunked-parity band
+    # is atol = 20*lr (tests/test_chunked.py). The resident scan shuffles
+    # on device, so compare its convergence only.
+    np.testing.assert_allclose(
+        losses["host"], losses["chunked"], atol=20 * 1e-3
+    )
+    assert np.isfinite(losses["resident"]).all()
+    assert losses["resident"][-1] < losses["resident"][0]
+
+
+def test_bn_freeze_config_validation():
+    with pytest.raises(ValueError, match="bn_freeze_after_frac"):
+        TrainConfig(bn_freeze_after_frac=1.5)
+    with pytest.raises(ValueError, match="single-device paths"):
+        TrainConfig(bn_freeze_after_frac=0.5, data_parallel=8)
+    with pytest.raises(ValueError, match="freeze-tail"):
+        Trainer(
+            TrainConfig(bn_freeze_after_frac=0.5, device_resident=True)
+        ).fit_fused(None, None)
