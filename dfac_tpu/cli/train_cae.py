@@ -47,10 +47,6 @@ def parse_args(argv=None):
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
-    if args.multihost and (args.fused_fit or args.device_resident):
-        p.error("--multihost CAE training composes with the per-batch and "
-                "--resident-chunk-batches paths; the fused/resident CAE "
-                "programs are single-process")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -89,7 +85,9 @@ def main(argv=None):
         early_stop=args.early_stop,
         base_channels=args.base_channels,
         seed=args.seed,
-        device_resident=args.device_resident,
+        # fused fit runs over a device-resident corpus; the flag also
+        # selects the GSPMD model when composed with --multihost
+        device_resident=args.device_resident or args.fused_fit,
         resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
         multihost=args.multihost,

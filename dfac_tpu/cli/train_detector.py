@@ -63,10 +63,6 @@ def parse_args(argv=None):
                    help="write a jax.profiler trace of the run to this directory")
     add_multihost_args(p)
     args = p.parse_args(argv)
-    if args.multihost and (args.fused_fit or args.device_resident):
-        p.error("--multihost detector training composes with the per-batch "
-                "and --resident-chunk-batches paths; the fused/resident "
-                "detector programs are single-process")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -109,7 +105,9 @@ def main(argv=None):
         freq_mask_max=args.freq_mask_max, freq_mask_n=args.freq_mask_n,
         ema=args.ema, ema_decay=args.ema_decay, patience=args.patience,
         seed=args.seed, compute_dtype="bfloat16" if args.bf16 else None,
-        device_resident=args.device_resident,
+        # fused fit runs over a device-resident corpus; the flag also
+        # selects the GSPMD model when composed with --multihost
+        device_resident=args.device_resident or args.fused_fit,
         resident_chunk_batches=args.resident_chunk_batches,
         data_parallel=args.data_parallel,
         multihost=args.multihost,

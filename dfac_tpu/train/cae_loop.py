@@ -70,18 +70,13 @@ class CAEConfig:
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
-        if self.multihost:
-            if self.data_parallel <= 1:
-                raise ValueError(
-                    "multihost CAE training is data-parallel over the pod — "
-                    "set data_parallel to the GLOBAL device count"
-                )
-            if self.device_resident:
-                raise ValueError(
-                    "multihost CAE training composes with the per-batch and "
-                    "chunked (resident_chunk_batches) paths; device_resident "
-                    "is single-process (use chunked streaming on pods)"
-                )
+        if self.multihost and self.data_parallel <= 1:
+            raise ValueError(
+                "multihost CAE training is data-parallel over the pod — "
+                "set data_parallel to the GLOBAL device count"
+            )
+        # multihost + device_resident is the GSPMD resident/fused path
+        # (corpus replicated per host, batches sharding-constrained)
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
         if self.resident_chunk_batches and self.device_resident:
@@ -203,24 +198,29 @@ def make_cae_indexed_step(model, tx, mean, std):
     return indexed_step
 
 
-def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int):
+def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int, mesh=None):
     """One jit program per CAE epoch over a device-resident bonafide corpus
     (device-side shuffle, no per-epoch host transfers; mirrors
-    :func:`dfac_tpu.train.loop.make_epoch_scan`)."""
+    :func:`dfac_tpu.train.loop.make_epoch_scan`). With ``mesh``, every
+    batch is sharding-constrained onto the mesh's 'data' axis — the GSPMD
+    data-parallel epoch program (multi-host pods included: corpus
+    replicated per host, compute sharded, outputs replicated)."""
+    from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
+
+    constrain = batch_constrainer(mesh)
     step = make_cae_train_step(model, tx, mean, std)
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
     n_full = n_examples // batch_size
     tail = n_examples % batch_size
 
-    @jax.jit
     def epoch_scan(state: TrainState, feats_all, epoch_seed):
         perm = jax.random.permutation(jax.random.key(epoch_seed), n_examples).astype(jnp.int32)
         idx_mat = perm[: n_full * batch_size].reshape(n_full, batch_size)
-        ones = jnp.ones((batch_size,), jnp.float32)
+        ones = constrain(jnp.ones((batch_size,), jnp.float32))
 
         def body(carry, idx):
             st, loss_acc, count_acc = carry
-            feats = jnp.take(feats_all, idx, axis=0)
+            feats = constrain(jnp.take(feats_all, idx, axis=0))
             st, loss_sum, count = base(st, feats, ones)
             return (st, loss_acc + loss_sum, count_acc + count), None
 
@@ -229,14 +229,14 @@ def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int):
         )
         if tail:
             # true-size tail step in the same program: no pad rows in BN stats
-            feats = jnp.take(feats_all, perm[n_full * batch_size :], axis=0)
+            feats = constrain(jnp.take(feats_all, perm[n_full * batch_size :], axis=0))
             state_out, tail_loss, tail_count = base(
-                state_out, feats, jnp.ones((tail,), jnp.float32)
+                state_out, feats, constrain(jnp.ones((tail,), jnp.float32))
             )
             loss, count = loss + tail_loss, count + tail_count
         return state_out, loss, count
 
-    return epoch_scan
+    return replicated_jit(epoch_scan, mesh)
 
 
 def make_cae_chunk_scan(model, tx, mean, std):
@@ -266,7 +266,9 @@ def make_cae_dp_chunk_scan(model, tx, mean, std, mesh):
     )
 
 
-def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev: int):
+def make_fused_cae_fit(
+    model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev: int, mesh=None
+):
     """Whole CAE training run as ONE dispatch (mirrors
     :func:`dfac_tpu.train.fused_fit.make_fused_fit` with the CAE recipe:
     best = min bonafide-dev reconstruction MSE, ReduceLROnPlateau on val
@@ -276,9 +278,17 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
     Returns ``fused(state, train_feats, dev_feats, dev_idx, dev_w) ->
     (final_state, best_vars, aux, history)``; history rows are
     (train_loss, val_mse, lr, is_best, stopped) device arrays.
+
+    With ``mesh`` the program is GSPMD data-parallel over 'data' (train +
+    validation batches constrained, outputs replicated) — one dispatch per
+    RUN across a multi-host pod, fed replicated corpora on every host.
     """
+    from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
+
+    constrain = batch_constrainer(mesh)
     epoch_scan = make_cae_epoch_scan(
-        model, tx, mean, std, n_examples=n_train, batch_size=cfg.batch_size
+        model, tx, mean, std, n_examples=n_train, batch_size=cfg.batch_size,
+        mesh=mesh,
     )
     bs = cfg.eval_batch_size or cfg.batch_size
     base_seed = cfg.seed * 100003
@@ -289,7 +299,6 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
     loss_eps = 0.0  # best = strict min val MSE (reference ``:277-283``)
     set_lr = _set_opt_lr
 
-    @jax.jit
     def fused(state: TrainState, tf, df, didx, dw):
         def variables_of(st):
             v = {"params": st.params}
@@ -300,10 +309,11 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
         def validate(st):
             def body(acc, args):
                 idx, w = args
-                x = (jnp.transpose(jnp.take(df, idx, axis=0), (0, 2, 1)) - mean) / std
+                feats_b = constrain(jnp.take(df, idx, axis=0))
+                x = (jnp.transpose(feats_b, (0, 2, 1)) - mean) / std
                 recon, _ = model.apply(variables_of(st), x)
                 per = reconstruction_mse(recon, x)
-                return acc + jnp.sum(per * w), None
+                return acc + jnp.sum(per * constrain(w)), None
 
             total, _ = jax.lax.scan(body, jnp.zeros(()), (didx, dw))
             return total / n_dev
@@ -391,7 +401,11 @@ def make_fused_cae_fit(model, tx, cfg: CAEConfig, mean, std, n_train: int, n_dev
     idx[:n_dev] = np.arange(n_dev)
     w = np.zeros((n_b * bs,), np.float32)
     w[:n_dev] = 1.0
-    return fused, jnp.asarray(idx.reshape(n_b, bs)), jnp.asarray(w.reshape(n_b, bs))
+    return (
+        replicated_jit(fused, mesh),
+        jnp.asarray(idx.reshape(n_b, bs)),
+        jnp.asarray(w.reshape(n_b, bs)),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -456,7 +470,11 @@ class CAETrainer:
                 # one progress UI per pod, not one per host process
                 self.visualizer = NoOpVisualizer()
         model_kwargs = {}
-        if cfg.data_parallel > 1:
+        # multihost + device_resident is the GSPMD resident/fused path: no
+        # axis_name (GSPMD computes global BN stats from the sharded batch
+        # by semantics; an axis_name only resolves inside shard_map)
+        self._gspmd_resident = cfg.multihost and cfg.device_resident
+        if cfg.data_parallel > 1 and not self._gspmd_resident:
             # BatchNorm stats must sync over the mesh in the shard_map path
             model_kwargs["axis_name"] = "data"
         self.model = build_model("cae", base_channels=cfg.base_channels, **model_kwargs)
@@ -490,17 +508,34 @@ class CAETrainer:
         )
         return float(scores.mean()) if len(scores) else float("nan")
 
+    def _resident_put(self):
+        """Corpus placer for the resident paths: plain ``device_put``
+        single-process; REPLICATED over every host's devices in the GSPMD
+        multihost mode (mirrors ``loop.Trainer._resident_put``)."""
+        if self.cfg.multihost:
+            from dfac_tpu.parallel import multihost as mh
+            from dfac_tpu.parallel.mesh import replicate
+
+            rep = replicate(self.mesh)
+            return lambda x: mh.put_global(np.asarray(x), rep)
+        return lambda x: jax.device_put(jnp.asarray(x))
+
     def _make_resident_validator(self, bona_dev, mean, std):
         """One-dispatch bonafide-dev mean reconstruction MSE over a
         device-resident dev split. ``cae_mse_scores`` re-uploads the dev
         features every epoch — the same per-epoch host->device cost the
         resident epoch scan eliminates for training; here the split is
-        uploaded once and each validation is a single dispatch."""
+        uploaded once and each validation is a single dispatch (GSPMD
+        data-parallel over the mesh in the multihost resident mode)."""
+        from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
+
         bs = self.cfg.eval_batch_size or self.cfg.batch_size
         n = len(bona_dev)
         if n == 0:
             return lambda variables: float("nan")
-        feats = jax.device_put(jnp.asarray(bona_dev.features))
+        mesh = self.mesh if self._gspmd_resident else None
+        constrain = batch_constrainer(mesh)
+        feats = self._resident_put()(bona_dev.features)
         n_b = -(-n // bs)
         idx = np.full((n_b * bs,), -1, np.int32)
         idx[:n] = np.arange(n)
@@ -510,18 +545,18 @@ class CAETrainer:
         w_mat = jnp.asarray(w.reshape(n_b, bs))
         model = self.model
 
-        @jax.jit
         def run(variables, mean, std):
             def body(acc, xs):
                 ii, ww = xs
-                x = jnp.take(feats, jnp.maximum(ii, 0), axis=0)
+                x = constrain(jnp.take(feats, jnp.maximum(ii, 0), axis=0))
                 xn = (jnp.transpose(x, (0, 2, 1)) - mean) / std
                 recon, _ = model.apply(variables, xn)
-                return acc + jnp.sum(reconstruction_mse(recon, xn) * ww), None
+                return acc + jnp.sum(reconstruction_mse(recon, xn) * constrain(ww)), None
 
             tot, _ = jax.lax.scan(body, jnp.zeros(()), (idx_mat, w_mat))
             return tot
 
+        run = replicated_jit(run, mesh)
         return lambda variables: float(run(variables, mean, std)) / n
 
     def fit(
@@ -554,7 +589,13 @@ class CAETrainer:
                     f"corpus) to divide over {dp} shards — pick a batch_size "
                     "with tail % data_parallel == 0, or truncate the corpus"
                 )
-            train_step = make_cae_dp_train_step(self.model, self.tx, mean, std, self.mesh)
+            # GSPMD resident mode: the epoch scan handles every epoch; the
+            # shard_map step would be WRONG here (the model carries no
+            # axis_name, so its BN stats would be per-shard only)
+            train_step = (
+                None if self._gspmd_resident
+                else make_cae_dp_train_step(self.model, self.tx, mean, std, self.mesh)
+            )
         else:
             train_step = make_cae_train_step(self.model, self.tx, mean, std)
 
@@ -601,7 +642,9 @@ class CAETrainer:
         epoch_scan = None
         chunk_scan = None  # fit-local: closes over this fit's mean/std
         feats_resident = None
-        resident = cfg.device_resident and cfg.data_parallel <= 1
+        resident = cfg.device_resident and (
+            cfg.data_parallel <= 1 or self._gspmd_resident
+        )
         if cfg.device_resident and not resident:
             import logging
 
@@ -614,10 +657,11 @@ class CAETrainer:
         resident_validate = None
         if resident:
             resident_validate = self._make_resident_validator(bona_dev, mean, std)
-            feats_resident = jax.device_put(jnp.asarray(bona_train.features))
+            feats_resident = self._resident_put()(bona_train.features)
             epoch_scan = make_cae_epoch_scan(
                 self.model, self.tx, mean, std,
                 n_examples=len(bona_train), batch_size=cfg.batch_size,
+                mesh=self.mesh if self._gspmd_resident else None,
             )
             self._indexed_step = make_cae_indexed_step(self.model, self.tx, mean, std)
 
@@ -629,7 +673,15 @@ class CAETrainer:
                 epoch, num_batches(len(bona_train), cfg.batch_size)
             ) as batch_ctx:
                 live_ui = batch_ctx is not None and getattr(batch_ctx, "wants_updates", True)
-                if epoch_scan is not None and not live_ui:
+                # the GSPMD multihost mode always runs the scan — the
+                # per-batch indexed fallback is a single-process program
+                if epoch_scan is not None and (not live_ui or self._gspmd_resident):
+                    if cfg.multihost:
+                        from dfac_tpu.parallel import multihost as mh
+
+                        # global state before the pod-wide program
+                        # (idempotent; heals host-local LR-update leaves)
+                        self.state = mh.replicate_tree(self.state, self.mesh)
                     # one dispatch per epoch; device-side shuffle
                     self.state, total, count = epoch_scan(
                         self.state, feats_resident, np.int64(cfg.seed * 100003 + epoch)
@@ -827,12 +879,19 @@ class CAETrainer:
         import os
 
         cfg = self.cfg
-        if cfg.data_parallel > 1:
+        multihost = cfg.multihost
+        if multihost and not self._gspmd_resident:
             raise ValueError(
-                "fit_fused is the single-device one-dispatch path; for "
-                "multi-chip CAE training use fit() with data_parallel (the "
-                "shard_map DP step), or shard the fused program via GSPMD "
-                "input shardings on a non-axis_name model"
+                "multihost fused CAE fit requires device_resident=True in "
+                "CAEConfig (the trainer then builds the GSPMD model; "
+                "dfac-train-cae's --fused-fit flag sets it automatically)"
+            )
+        if cfg.data_parallel > 1 and not multihost:
+            raise ValueError(
+                "fit_fused with data_parallel is the MULTIHOST GSPMD path "
+                "(--multihost --fused-fit); for single-process multi-chip "
+                "CAE training use fit() with data_parallel (the shard_map "
+                "DP step)"
             )
         bona_train = train_ds.filter_label(1) if train_ds.labels is not None else train_ds
         bona_dev = dev_ds.filter_label(1) if dev_ds.labels is not None else dev_ds
@@ -856,9 +915,18 @@ class CAETrainer:
         fused, didx, dw = make_fused_cae_fit(
             self.model, self.tx, cfg, mean, std,
             n_train=len(bona_train), n_dev=len(bona_dev),
+            mesh=self.mesh if multihost else None,
         )
-        tf = jax.device_put(jnp.asarray(bona_train.features))
-        df = jax.device_put(jnp.asarray(bona_dev.features))
+        put = self._resident_put()
+        tf = put(bona_train.features)
+        df = put(bona_dev.features)
+        if multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            # global state + coordinator-only artifacts for the pod run
+            self.state = mh.replicate_tree(self.state, self.mesh)
+            if not mh.is_coordinator():
+                checkpoint_dir = None
         final_state, best_vars, best_opt, aux, history = fused(
             self.state, tf, df, didx, dw
         )

@@ -67,18 +67,13 @@ class DetectorConfig:
     def __post_init__(self):
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
-        if self.multihost:
-            if self.data_parallel <= 1:
-                raise ValueError(
-                    "multihost detector training is data-parallel over the "
-                    "pod — set data_parallel to the GLOBAL device count"
-                )
-            if self.device_resident:
-                raise ValueError(
-                    "multihost detector training composes with the per-batch "
-                    "and chunked (resident_chunk_batches) paths; "
-                    "device_resident is single-process (use chunked on pods)"
-                )
+        if self.multihost and self.data_parallel <= 1:
+            raise ValueError(
+                "multihost detector training is data-parallel over the "
+                "pod — set data_parallel to the GLOBAL device count"
+            )
+        # multihost + device_resident is the GSPMD resident/fused path
+        # (corpus replicated per host, batches sharding-constrained)
         if self.resident_chunk_batches < 0:
             raise ValueError("resident_chunk_batches must be >= 0")
         if self.resident_chunk_batches and self.device_resident:
@@ -262,7 +257,8 @@ def make_detector_dp_chunk_scan(model, tx, cfg: DetectorConfig, pos_weight: floa
 
 
 def make_detector_epoch_scan(
-    model, tx, cfg: DetectorConfig, pos_weight: float, n_examples: int, batch_size: int
+    model, tx, cfg: DetectorConfig, pos_weight: float, n_examples: int,
+    batch_size: int, mesh=None,
 ):
     """One jit program per detector epoch over a device-resident corpus.
 
@@ -272,47 +268,49 @@ def make_detector_epoch_scan(
     distribution and numpy determinism are identical to the host-fed path;
     the gather + every train step run on device under ``lax.scan`` (mirrors
     :func:`dfac_tpu.train.loop.make_epoch_scan`). The tail batch runs
-    true-size in the same program.
+    true-size in the same program. With ``mesh``, batches are
+    sharding-constrained onto 'data' (GSPMD data-parallel epochs — pods
+    included) and outputs replicate.
     """
+    from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
+
+    constrain = batch_constrainer(mesh)
     step = make_detector_train_step(model, tx, cfg, pos_weight)
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
     n_full = n_examples // batch_size
     tail = n_examples % batch_size
 
-    @jax.jit
     def epoch_scan(state: DetectorState, feats_all, lengths_all, labels_all, order):
         idx_mat = order[: n_full * batch_size].reshape(n_full, batch_size)
 
+        def batch_of(idx):
+            return (
+                constrain(jnp.take(feats_all, idx, axis=0)),
+                constrain(jnp.take(lengths_all, idx, axis=0)),
+                constrain(jnp.take(labels_all, idx, axis=0)),
+            )
+
         def body(carry, idx):
             st, loss_acc = carry
-            st, loss = base(
-                st,
-                jnp.take(feats_all, idx, axis=0),
-                jnp.take(lengths_all, idx, axis=0),
-                jnp.take(labels_all, idx, axis=0),
-            )
+            st, loss = base(st, *batch_of(idx))
             return (st, loss_acc + loss), None
 
         (state_out, loss_sum), _ = jax.lax.scan(
             body, (state, jnp.zeros(())), idx_mat
         )
         if tail:
-            idx = order[n_full * batch_size :]
             state_out, tail_loss = base(
-                state_out,
-                jnp.take(feats_all, idx, axis=0),
-                jnp.take(lengths_all, idx, axis=0),
-                jnp.take(labels_all, idx, axis=0),
+                state_out, *batch_of(order[n_full * batch_size :])
             )
             loss_sum = loss_sum + tail_loss
         return state_out, loss_sum
 
-    return epoch_scan
+    return replicated_jit(epoch_scan, mesh)
 
 
 def make_fused_detector_fit(
     model, tx, cfg: DetectorConfig, pos_weight: float,
-    n_train: int, n_dev: int,
+    n_train: int, n_dev: int, mesh=None,
 ):
     """The whole detector run as ONE dispatched program: per-epoch weighted
     orders come in as a pre-sampled (epochs, N) matrix (host numpy keeps the
@@ -323,16 +321,21 @@ def make_fused_detector_fit(
     Returns ``fused(state, tf, tlen, tl, orders, df, dlen, dl, didx) ->
     (final_state, best_vars, aux, history)``. The best rule compares exact
     u64 EER numerators (``ops/wideint.py``), valid at any dev-split size.
+
+    With ``mesh`` the program is GSPMD data-parallel over 'data' (train +
+    dev batches sharding-constrained, outputs replicated) — one dispatch
+    per RUN across a multi-host pod, fed replicated corpora on every host.
     """
     from dfac_tpu.ops import wideint as wi
     from dfac_tpu.ops.eer import eer_counts_jax
+    from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
 
+    constrain = batch_constrainer(mesh)
     epoch_scan = make_detector_epoch_scan(
-        model, tx, cfg, pos_weight, n_train, cfg.batch_size
+        model, tx, cfg, pos_weight, n_train, cfg.batch_size, mesh=mesh
     )
     n_batches = -(-n_train // cfg.batch_size)
 
-    @jax.jit
     def fused(state: DetectorState, tf, tlen, tl, orders, df, dlen, dl, didx):
         def eval_vars_of(st):
             params = st.ema_params if cfg.ema else st.params
@@ -345,8 +348,10 @@ def make_fused_detector_fit(
             v = eval_vars_of(st)
 
             def body(_, idx):
-                x = jnp.transpose(jnp.take(df, idx, axis=0), (0, 2, 1))
-                logits = model.apply(v, x, lengths=jnp.take(dlen, idx, axis=0))
+                x = jnp.transpose(constrain(jnp.take(df, idx, axis=0)), (0, 2, 1))
+                logits = model.apply(
+                    v, x, lengths=constrain(jnp.take(dlen, idx, axis=0))
+                )
                 return None, logits.reshape(-1)
 
             _, scores = jax.lax.scan(body, None, didx)
@@ -421,7 +426,7 @@ def make_fused_detector_fit(
         }
         return final_state, best_vars, aux, history
 
-    return fused
+    return replicated_jit(fused, mesh)
 
 
 class DetectorTrainer:
@@ -430,7 +435,11 @@ class DetectorTrainer:
         kw = {}
         if cfg.compute_dtype:
             kw["compute_dtype"] = jnp.dtype(cfg.compute_dtype)
-        if cfg.data_parallel > 1:
+        # multihost + device_resident is the GSPMD resident/fused path: no
+        # axis_name (GSPMD computes global BN stats from the sharded batch
+        # by semantics; an axis_name only resolves inside shard_map)
+        self._gspmd_resident = cfg.multihost and cfg.device_resident
+        if cfg.data_parallel > 1 and not self._gspmd_resident:
             # BatchNorm stats must sync over the mesh in the shard_map path
             kw["axis_name"] = "data"
         self.model = build_model(
@@ -448,6 +457,18 @@ class DetectorTrainer:
         self.state: DetectorState | None = None
 
     # -- helpers ----------------------------------------------------------
+    def _resident_put(self):
+        """Corpus placer for the resident paths: plain ``device_put``
+        single-process; REPLICATED over every host's devices in the GSPMD
+        multihost mode (mirrors ``loop.Trainer._resident_put``)."""
+        if self.cfg.multihost:
+            from dfac_tpu.parallel import multihost as mh
+            from dfac_tpu.parallel.mesh import replicate
+
+            rep = replicate(self.mesh)
+            return lambda x: mh.put_global(np.asarray(x), rep)
+        return lambda x: jax.device_put(jnp.asarray(x))
+
     def _lengths(self, ds: ArrayDataset) -> np.ndarray:
         if ds.lengths is not None:
             return ds.lengths
@@ -506,21 +527,28 @@ class DetectorTrainer:
                     f"to divide over {dp} shards — pick a batch_size with "
                     "tail % data_parallel == 0"
                 )
-            dp_step = make_detector_dp_train_step(
-                self.model, self.tx, cfg, pos_weight, self.mesh
-            )
-
-            def train_step(state, feats, lens, labels):
-                return dp_step(
-                    state, feats, lens, labels,
-                    jnp.ones((feats.shape[0],), jnp.float32),
+            if self._gspmd_resident:
+                # GSPMD resident mode: the epoch scan handles every epoch;
+                # the shard_map step would be WRONG here (no axis_name ->
+                # per-shard-only BN stats)
+                dp_step = train_step = None
+            else:
+                dp_step = make_detector_dp_train_step(
+                    self.model, self.tx, cfg, pos_weight, self.mesh
                 )
+
+                def train_step(state, feats, lens, labels):
+                    return dp_step(
+                        state, feats, lens, labels,
+                        jnp.ones((feats.shape[0],), jnp.float32),
+                    )
         else:
             train_step = make_detector_train_step(self.model, self.tx, cfg, pos_weight)
 
         n_batches_epoch = -(-n // cfg.batch_size)
+        resident = cfg.device_resident and (dp <= 1 or self._gspmd_resident)
         epoch_scan = feats_d = lengths_d = labels_d = chunk_scan = None
-        if cfg.device_resident and dp > 1:
+        if cfg.device_resident and not resident:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -529,21 +557,29 @@ class DetectorTrainer:
                 "(a host/relay round trip per step). Drop --data-parallel "
                 "or --device-resident to silence this.", dp,
             )
-        if cfg.device_resident and dp <= 1:
+        if resident:
             epoch_scan = make_detector_epoch_scan(
-                self.model, self.tx, cfg, pos_weight, n, cfg.batch_size
+                self.model, self.tx, cfg, pos_weight, n, cfg.batch_size,
+                mesh=self.mesh if self._gspmd_resident else None,
             )
-            feats_d = jnp.asarray(train_ds.features)  # one upload, reused every epoch
-            lengths_d = jnp.asarray(lengths)
-            labels_d = jnp.asarray(labels.astype(np.float32))
+            put = self._resident_put()
+            feats_d = put(train_ds.features)  # one upload, reused every epoch
+            lengths_d = put(lengths)
+            labels_d = put(labels.astype(np.float32))
 
         # inf, not 1.0: epoch 1 must always count as an improvement (and
         # save the checkpoint) even in the degenerate dev_eer == 1.0 case
         best_eer, bad, history = float("inf"), 0, []
         for epoch in range(1, cfg.epochs + 1):
             # weighted sampling WITH replacement, num_samples = N (reference)
+            # — every process draws the SAME order (identically seeded rng)
             order = rng.choice(n, size=n, replace=True, p=sample_p)
-            if cfg.device_resident and dp <= 1:
+            if resident:
+                if cfg.multihost:
+                    from dfac_tpu.parallel import multihost as mh
+
+                    # global state before the pod-wide program (idempotent)
+                    self.state = mh.replicate_tree(self.state, self.mesh)
                 self.state, total_loss = epoch_scan(
                     self.state, feats_d, lengths_d, labels_d,
                     jnp.asarray(order.astype(np.int32)),
@@ -677,14 +713,28 @@ class DetectorTrainer:
         from the identical numpy rng sequence and shipped as one (epochs, N)
         matrix)."""
         cfg = self.cfg
-        if cfg.data_parallel > 1:
+        multihost = cfg.multihost
+        if multihost and not self._gspmd_resident:
             raise ValueError(
-                "fit_fused is the single-device one-dispatch path; for "
-                "multi-chip detector training use fit() with data_parallel "
-                "(the shard_map DP step)"
+                "multihost fused detector fit requires device_resident=True "
+                "in DetectorConfig (the trainer then builds the GSPMD model; "
+                "the train_detector CLI's --fused-fit flag sets it)"
+            )
+        if cfg.data_parallel > 1 and not multihost:
+            raise ValueError(
+                "fit_fused with data_parallel is the MULTIHOST GSPMD path "
+                "(--multihost --fused-fit); for single-process multi-chip "
+                "detector training use fit() with data_parallel (the "
+                "shard_map DP step)"
             )
         if cfg.epochs <= 0:
             return {"best_eer": float("inf"), "history": []}
+        if multihost and ckpt_path:
+            from dfac_tpu.parallel import multihost as mh
+
+            if not mh.is_coordinator():
+                # exactly one process writes artifacts; state is replicated
+                ckpt_path = None
         rng = np.random.default_rng(cfg.seed)
         labels = np.asarray(train_ds.labels)
         pos_weight, w0, w1 = compute_class_weights(labels)
@@ -717,16 +767,23 @@ class DetectorTrainer:
         didx[:n_dev] = np.arange(n_dev)
 
         fused = make_fused_detector_fit(
-            self.model, self.tx, cfg, pos_weight, n_train=n, n_dev=n_dev
+            self.model, self.tx, cfg, pos_weight, n_train=n, n_dev=n_dev,
+            mesh=self.mesh if multihost else None,
         )
+        put = self._resident_put()
+        if multihost:
+            from dfac_tpu.parallel import multihost as mh
+
+            # global state before the pod-wide one-dispatch program
+            self.state = mh.replicate_tree(self.state, self.mesh)
         final_state, best_vars, aux, history = fused(
             self.state,
-            jnp.asarray(train_ds.features), jnp.asarray(lengths),
-            jnp.asarray(labels.astype(np.float32)),
-            jnp.asarray(orders),
-            jnp.asarray(dev_ds.features), jnp.asarray(dev_lengths),
-            jnp.asarray(dev_ds.labels.astype(np.int32)),
-            jnp.asarray(didx.reshape(n_b, bs)),
+            put(train_ds.features), put(lengths),
+            put(labels.astype(np.float32)),
+            put(orders),
+            put(dev_ds.features), put(dev_lengths),
+            put(dev_ds.labels.astype(np.int32)),
+            put(didx.reshape(n_b, bs)),
         )
         self.state = final_state
         self._best_eval_vars = jax.device_get(best_vars)

@@ -172,6 +172,31 @@ np.testing.assert_allclose(
     cae_mh["history"][0].train_loss, cae_sd["history"][0].train_loss, rtol=1e-4
 )
 
+# --- CAE GSPMD resident + fused x multihost vs single-device
+cae_res_cfg = dataclasses.replace(
+    cae_cfg, resident_chunk_batches=0, device_resident=True, epochs=2
+)
+cae_res_mh = CAETrainer(cae_res_cfg).fit(cae_train, cae_dev)
+cae_res_sd = CAETrainer(
+    dataclasses.replace(cae_res_cfg, data_parallel=0, multihost=False)
+).fit(cae_train, cae_dev)
+np.testing.assert_allclose(
+    cae_res_mh["best_val_mse"], cae_res_sd["best_val_mse"], rtol=1e-4,
+    err_msg="multihost GSPMD-resident CAE val MSE must match single-device",
+)
+cae_f_mh = CAETrainer(cae_res_cfg).fit_fused(cae_train, cae_dev)
+cae_f_sd = CAETrainer(
+    dataclasses.replace(cae_res_cfg, data_parallel=0, multihost=False)
+).fit_fused(cae_train, cae_dev)
+np.testing.assert_allclose(
+    cae_f_mh["best_val_mse"], cae_f_sd["best_val_mse"], rtol=1e-4,
+    err_msg="multihost fused CAE val MSE must match single-device fused",
+)
+np.testing.assert_allclose(
+    [m.train_loss for m in cae_f_mh["history"]],
+    [m.train_loss for m in cae_f_sd["history"]], rtol=1e-4,
+)
+
 # --- detector chunked x multihost vs single-device chunked
 from dfac_tpu.train.detector_loop import DetectorConfig, DetectorTrainer  # noqa: E402
 
@@ -192,6 +217,35 @@ for h_mh, h_sd in zip(det_mh["history"], det_sd["history"]):
     )
 assert det_mh["best_eer"] == det_sd["best_eer"], (
     det_mh["best_eer"], det_sd["best_eer"],
+)
+
+# --- detector GSPMD resident + fused x multihost vs single-device
+det_res_cfg = dataclasses.replace(
+    det_cfg, resident_chunk_batches=0, device_resident=True
+)
+det_res_mh = DetectorTrainer(det_res_cfg, in_channels=f_dim).fit(train_ds, dev_ds)
+det_res_sd = DetectorTrainer(
+    dataclasses.replace(det_res_cfg, data_parallel=0, multihost=False),
+    in_channels=f_dim,
+).fit(train_ds, dev_ds)
+np.testing.assert_allclose(
+    det_res_mh["history"][0]["train_loss"], det_res_sd["history"][0]["train_loss"],
+    rtol=5e-3, err_msg="multihost GSPMD-resident detector loss must match",
+)
+assert det_res_mh["best_eer"] == det_res_sd["best_eer"]
+
+det_f_mh = DetectorTrainer(det_res_cfg, in_channels=f_dim).fit_fused(train_ds, dev_ds)
+det_f_sd = DetectorTrainer(
+    dataclasses.replace(det_res_cfg, data_parallel=0, multihost=False),
+    in_channels=f_dim,
+).fit_fused(train_ds, dev_ds)
+np.testing.assert_allclose(
+    [h["train_loss"] for h in det_f_mh["history"]],
+    [h["train_loss"] for h in det_f_sd["history"]], rtol=5e-3,
+    err_msg="multihost fused detector losses must match single-device fused",
+)
+assert det_f_mh["best_eer"] == det_f_sd["best_eer"], (
+    det_f_mh["best_eer"], det_f_sd["best_eer"],
 )
 
 # --- hybrid serving with a CNN1D supervised leg across the cluster

@@ -57,7 +57,8 @@ def _run_cluster(worker: str) -> None:
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # worker2 runs ~9 min of trainer fits on a loaded 1-core host
+            out, _ = p.communicate(timeout=900)
             outs.append(out.decode(errors="replace"))
     finally:
         for p in procs:
@@ -132,25 +133,17 @@ def test_predict_multihost_requires_fast():
 
 
 def test_multihost_config_validation():
-    """multihost requires DP; the supervised trainer now composes with the
-    resident (GSPMD), chunked, and fused paths, while the CAE/detector
-    trainers compose with chunked but keep their single-process resident
-    programs out."""
+    """multihost requires DP; all three trainers compose with the chunked,
+    GSPMD-resident, and fused paths (round 4)."""
     from dfac_tpu.train.cae_loop import CAEConfig
     from dfac_tpu.train.detector_loop import DetectorConfig
     from dfac_tpu.train.loop import TrainConfig
 
-    with pytest.raises(ValueError, match="GLOBAL device count"):
-        TrainConfig(multihost=True)
-    # round 4: these compose (GSPMD resident / multihost chunked)
-    TrainConfig(multihost=True, data_parallel=8, device_resident=True)
-    TrainConfig(multihost=True, data_parallel=8, resident_chunk_batches=4)
-    CAEConfig(multihost=True, data_parallel=8, resident_chunk_batches=4)
-    DetectorConfig(multihost=True, data_parallel=8, resident_chunk_batches=4)
-    with pytest.raises(ValueError, match="single-process"):
-        CAEConfig(multihost=True, data_parallel=8, device_resident=True)
-    with pytest.raises(ValueError, match="single-process"):
-        DetectorConfig(multihost=True, data_parallel=8, device_resident=True)
+    for Config in (TrainConfig, CAEConfig, DetectorConfig):
+        with pytest.raises(ValueError, match="GLOBAL device count"):
+            Config(multihost=True)
+        Config(multihost=True, data_parallel=8, device_resident=True)
+        Config(multihost=True, data_parallel=8, resident_chunk_batches=4)
 
 
 def test_broadcast_pyobj_single_process():
