@@ -96,13 +96,10 @@ def parse_args(argv=None):
     if args.train_fast:
         # the fastest recipe that PASSes the EER gate (results/
         # train_fast_ab.md): drop dropout entirely; add the BN freeze
-        # tail where the per-epoch program switch exists (single-device
-        # paths; fused compiles ONE program, DP/multihost not yet wired)
+        # tail on every per-epoch path (fused compiles ONE program for
+        # the whole run, so it gets the dropout-free half only)
         args.dropout = 0.0
-        if (
-            not args.fused_fit and not args.bn_freeze_after
-            and args.data_parallel <= 1 and not args.multihost
-        ):
+        if not args.fused_fit and not args.bn_freeze_after:
             args.bn_freeze_after = 0.5
     if args.fused_fit and args.bn_freeze_after:
         p.error("--fused-fit compiles one program for the whole run; the BN "

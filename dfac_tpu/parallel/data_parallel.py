@@ -33,12 +33,18 @@ def make_shard_map_train_step(
     label_smoothing: float = 0.0,
     augment_fn: Callable | None = None,
     axis_name: str = "data",
+    bn_frozen: bool = False,
 ):
     """Build a jit'd shard_map DP train step over ``mesh``'s 'data' axis.
 
     The model must be built with ``axis_name='data'`` so its BatchNorm
     layers pmean their statistics — giving bit-parity with global-batch
     training (SURVEY.md §7 hard part c).
+
+    ``bn_frozen=True`` builds the freeze-tail variant (BatchNorm runs on
+    its replicated running stats and stops updating them — no stat pmean
+    either): the ``--train-fast`` / ``--bn-freeze-after`` recipe on the DP
+    paths, quality-gated in ``results/train_fast_ab.md``.
     """
 
     def per_shard(state, feats, labels, weights):
@@ -60,8 +66,10 @@ def make_shard_map_train_step(
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            extra = {"bn_frozen": True} if bn_frozen else {}
             out, mutated = model.apply(
-                variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": drop_key}
+                variables, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key}, **extra,
             )
             logits = (out[0] if isinstance(out, tuple) else out).reshape(-1)
             per = optax.sigmoid_binary_cross_entropy(

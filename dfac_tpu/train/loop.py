@@ -101,12 +101,10 @@ class TrainConfig:
             raise ValueError("label_smoothing must be in [0, 0.5)")
         if not (0.0 <= self.bn_freeze_after_frac <= 1.0):
             raise ValueError("bn_freeze_after_frac must be in [0, 1]")
-        if self.bn_freeze_after_frac and (self.data_parallel > 1 or self.multihost):
-            raise ValueError(
-                "bn_freeze_after_frac is wired for the single-device paths "
-                "(host loop / device_resident / chunked); drop it or the "
-                "data_parallel/multihost flags"
-            )
+        # bn_freeze_after_frac composes with every per-epoch path (host
+        # loop, device_resident, chunked, shard_map DP, multihost) — the
+        # trainer switches to the frozen program at the boundary epoch.
+        # Only fit_fused rejects it (one program for the whole run).
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
         if self.multihost and self.data_parallel <= 1:
@@ -467,10 +465,19 @@ class Trainer:
     def _frozen_train_step(self):
         if self._train_step_frozen is None:
             cfg = self.cfg
-            self._train_step_frozen = make_train_step(
-                self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
-                self.augment_fn, bn_frozen=True,
-            )
+            if cfg.data_parallel > 1 and not self._gspmd_resident:
+                from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
+
+                self._train_step_frozen = make_shard_map_train_step(
+                    self.model, self.tx, self.mesh, swap_tf=cfg.swap_tf,
+                    label_smoothing=cfg.label_smoothing,
+                    augment_fn=self.augment_fn, bn_frozen=True,
+                )
+            else:
+                self._train_step_frozen = make_train_step(
+                    self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
+                    self.augment_fn, bn_frozen=True,
+                )
         return self._train_step_frozen
 
     # -- state ------------------------------------------------------------
@@ -662,6 +669,7 @@ class Trainer:
                     self._epoch_scan_frozen = make_epoch_scan(
                         self.model, self.tx, cfg.swap_tf, cfg.label_smoothing,
                         self.augment_fn, n_examples=len(ds), batch_size=cfg.batch_size,
+                        mesh=self.mesh if self._gspmd_resident else None,
                         bn_frozen=True,
                     )
                 if not frozen and self._epoch_scan is None:
@@ -750,6 +758,10 @@ class Trainer:
         # scheduler's LR update injects (idempotent, and tiny next to an
         # epoch for these model sizes)
         self.state = mh.replicate_tree(self.state, self.mesh)
+        step = (
+            self._frozen_train_step() if self._bn_frozen_at(epoch)
+            else self._train_step
+        )
         order = np.arange(n)
         np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
         labels_all = np.asarray(
@@ -761,7 +773,7 @@ class Trainer:
                 order, cfg.batch_size, self.mesh,
             )
         ):
-            self.state, loss_sum, count = self._train_step(
+            self.state, loss_sum, count = step(
                 self.state, feats_g, labels_g, w_g
             )
             after_step(i, loss_sum, count)

@@ -278,9 +278,9 @@ def test_train_fast_recipe_flag():
     # fused compiles one program for the whole run: dropout-free only
     a = parse_args(base + ["--train-fast", "--fused-fit"])
     assert a.dropout == 0.0 and a.bn_freeze_after == 0.0
-    # DP paths: dropout-free only (freeze switch not wired there)
+    # DP paths get the full recipe (frozen shard_map step variant)
     a = parse_args(base + ["--train-fast", "--data-parallel", "4"])
-    assert a.dropout == 0.0 and a.bn_freeze_after == 0.0
+    assert a.dropout == 0.0 and a.bn_freeze_after == 0.5
     # an explicit user FRAC wins over the recipe default
     a = parse_args(base + ["--train-fast", "--bn-freeze-after", "0.8"])
     assert a.bn_freeze_after == 0.8

@@ -337,9 +337,59 @@ def test_bn_freeze_paths_agree(rng):
 def test_bn_freeze_config_validation():
     with pytest.raises(ValueError, match="bn_freeze_after_frac"):
         TrainConfig(bn_freeze_after_frac=1.5)
-    with pytest.raises(ValueError, match="single-device paths"):
-        TrainConfig(bn_freeze_after_frac=0.5, data_parallel=8)
+    # composes with the DP/multihost per-epoch paths (frozen shard_map step)
+    TrainConfig(bn_freeze_after_frac=0.5, data_parallel=8)
     with pytest.raises(ValueError, match="freeze-tail"):
         Trainer(
             TrainConfig(bn_freeze_after_frac=0.5, device_resident=True)
         ).fit_fused(None, None)
+
+
+def test_bn_freeze_dp_step_matches_single_device(rng):
+    """The frozen shard_map DP step (--train-fast --data-parallel) must
+    match the single-device frozen step on the same global batch, and
+    leave the replicated running stats bit-identical."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from dfac_tpu.parallel.data_parallel import make_shard_map_train_step
+    from dfac_tpu.parallel.mesh import make_mesh
+
+    ds = _separable_dataset(rng, n=16)
+    dp_cfg = TrainConfig(
+        model="cnn2d", batch_size=16, epochs=1, in_features=16, seed=0,
+        dropout=0.0, data_parallel=8, bn_freeze_after_frac=0.5,
+    )
+    dp_trainer = Trainer(dp_cfg)
+    dp_trainer.init_state(ds.features[:16])
+    # prime running stats so frozen-BN normalization is non-trivial
+    dp_trainer.train_epoch(ds, 1, None)
+    stats_before = jax.device_get(dp_trainer.state.batch_stats)
+
+    frozen_dp = dp_trainer._frozen_train_step()
+    import jax.numpy as jnp
+
+    feats = jnp.asarray(ds.features)
+    labels = jnp.asarray(np.asarray(ds.labels, np.float32))
+    w = jnp.ones((16,), jnp.float32)
+    new_state, dp_loss, count = frozen_dp(dp_trainer.state, feats, labels, w)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        stats_before, jax.device_get(new_state.batch_stats),
+    )
+    assert int(count) == 16
+
+    from dfac_tpu.train.loop import make_train_step
+    from dfac_tpu.models import build_model
+
+    sd_model = build_model("cnn2d", in_features=16, dropout=0.0)
+    sd_step = make_train_step(
+        sd_model, dp_trainer.tx, swap_tf=True, label_smoothing=0.0,
+        augment_fn=None, bn_frozen=True,
+    )
+    _, sd_loss, _ = sd_step(dp_trainer.state, feats, labels, w)
+    np.testing.assert_allclose(
+        float(dp_loss), float(sd_loss), rtol=1e-5,
+        err_msg="frozen DP loss must match single-device frozen step",
+    )
