@@ -95,15 +95,12 @@ def parse_args(argv=None):
     args = p.parse_args(argv)
     if args.train_fast:
         # the fastest recipe that PASSes the EER gate (results/
-        # train_fast_ab.md): drop dropout entirely; add the BN freeze
-        # tail on every per-epoch path (fused compiles ONE program for
-        # the whole run, so it gets the dropout-free half only)
+        # train_fast_ab.md): drop dropout entirely + the BN freeze tail.
+        # Composes with every training mode, fused included (the fused
+        # program switches epoch bodies with lax.cond at the boundary).
         args.dropout = 0.0
-        if not args.fused_fit and not args.bn_freeze_after:
+        if not args.bn_freeze_after:
             args.bn_freeze_after = 0.5
-    if args.fused_fit and args.bn_freeze_after:
-        p.error("--fused-fit compiles one program for the whole run; the BN "
-                "freeze-tail switch is per-epoch — drop one")
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "

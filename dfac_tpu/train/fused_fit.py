@@ -71,6 +71,19 @@ def make_fused_fit(
         model, tx, cfg.swap_tf, cfg.label_smoothing, _augment(cfg),
         n_examples=n_train, batch_size=cfg.batch_size, mesh=mesh,
     )
+    # BN freeze tail inside the one-dispatch program: epochs after
+    # round(epochs * frac) run a second (frozen-BN) epoch body selected by
+    # lax.cond — same boundary rule as the per-epoch trainer's
+    # _bn_frozen_at, so --train-fast composes with --fused-fit
+    freeze_frac = getattr(cfg, "bn_freeze_after_frac", 0.0)
+    frozen_scan = None
+    if freeze_frac:
+        frozen_scan = make_epoch_scan(
+            model, tx, cfg.swap_tf, cfg.label_smoothing, _augment(cfg),
+            n_examples=n_train, batch_size=cfg.batch_size, mesh=mesh,
+            bn_frozen=True,
+        )
+    freeze_epoch = round(cfg.epochs * freeze_frac)
     evaluator = make_resident_evaluator(
         model, swap_tf=cfg.swap_tf, label_smoothing=cfg.label_smoothing,
         mesh=mesh,
@@ -95,7 +108,15 @@ def make_fused_fit(
              no_improve, sched_best, sched_bad, lr, stopped) = carry
 
             state = state.replace(opt_state=set_lr(state.opt_state, lr))
-            state, loss_sum, count = epoch_scan(state, tf, tl, base_seed + epoch)
+            if frozen_scan is None:
+                state, loss_sum, count = epoch_scan(state, tf, tl, base_seed + epoch)
+            else:
+                state, loss_sum, count = jax.lax.cond(
+                    epoch > freeze_epoch,
+                    lambda st: frozen_scan(st, tf, tl, base_seed + epoch),
+                    lambda st: epoch_scan(st, tf, tl, base_seed + epoch),
+                    state,
+                )
             train_loss = loss_sum / jnp.maximum(count, 1.0)
 
             ev_vars = {"params": state.params}
@@ -244,11 +265,6 @@ def fit_fused(trainer, train_ds, dev_ds, resume_from: str | None = None) -> dict
     checkpoint and continues the fused scan at the next epoch.
     """
     cfg = trainer.cfg
-    if cfg.bn_freeze_after_frac:
-        raise ValueError(
-            "fit_fused does not implement the BN freeze-tail program switch "
-            "— use the per-epoch trainer (drop --fused-fit or --bn-freeze-after)"
-        )
     multihost = cfg.multihost
     if multihost and not getattr(trainer, "_gspmd_resident", False):
         raise ValueError(

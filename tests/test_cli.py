@@ -275,17 +275,12 @@ def test_train_fast_recipe_flag():
     ]
     a = parse_args(base + ["--train-fast"])
     assert a.dropout == 0.0 and a.bn_freeze_after == 0.5
-    # fused compiles one program for the whole run: dropout-free only
+    # fused gets the full recipe too (in-program lax.cond epoch switch)
     a = parse_args(base + ["--train-fast", "--fused-fit"])
-    assert a.dropout == 0.0 and a.bn_freeze_after == 0.0
+    assert a.dropout == 0.0 and a.bn_freeze_after == 0.5
     # DP paths get the full recipe (frozen shard_map step variant)
     a = parse_args(base + ["--train-fast", "--data-parallel", "4"])
     assert a.dropout == 0.0 and a.bn_freeze_after == 0.5
     # an explicit user FRAC wins over the recipe default
     a = parse_args(base + ["--train-fast", "--bn-freeze-after", "0.8"])
     assert a.bn_freeze_after == 0.8
-    # explicit freeze + fused is still rejected
-    import pytest as _pytest
-
-    with _pytest.raises(SystemExit):
-        parse_args(base + ["--fused-fit", "--bn-freeze-after", "0.5"])
