@@ -33,6 +33,14 @@ def parse_args(argv=None):
     )
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (0 = single device)")
+    p.add_argument(
+        "--ingest-int8", action="store_true",
+        help="quantize feature rows to int8 (per utterance x feature-dim "
+        "scale) on the host and dequantize fused into the first conv — "
+        "half the host->device bytes of bf16 ingest, for transfer-bound "
+        "links; scores shift by ~amax/254 per group (EER parity "
+        "test-gated). Requires --fast",
+    )
     add_multihost_args(p, extra_help="requires --fast")
     sig = p.add_mutually_exclusive_group()
     sig.add_argument("--apply-sigmoid", dest="apply_sigmoid", action="store_true", default=True)
@@ -46,6 +54,14 @@ def main(argv=None):
 
     if args.multihost and not args.fast:
         raise SystemExit("--multihost serving runs the folded fast chain — add --fast")
+    if args.ingest_int8 and not args.fast:
+        raise SystemExit("--ingest-int8 rides the folded fast chain — add --fast")
+    if args.ingest_int8 and args.multihost:
+        raise SystemExit(
+            "--ingest-int8 with --multihost is not supported yet: each host "
+            "already uploads only its row slice there, so quantization "
+            "buys half as much — drop one of the two flags"
+        )
     if args.device:
         import jax
 
@@ -98,7 +114,7 @@ def main(argv=None):
         folded = (fold_cnn2d if args.model == "cnn2d" else fold_cnn1d)(variables)
         scorer = make_sharded_cnn2d_feature_scorer(
             mesh, swap_tf=args.swap_tf, apply_sigmoid=args.apply_sigmoid,
-            compute_dtype=dtype, model=args.model,
+            compute_dtype=dtype, model=args.model, ingest_int8=args.ingest_int8,
         )
         if args.multihost:
             # each process ingests only ITS row slice of every (padded,
@@ -123,6 +139,16 @@ def main(argv=None):
                 ds, args.batch_size,
                 prepare_batch=prepare, gather=mh.gather_rows, stats=stats,
             )
+        elif args.ingest_int8:
+            from dfac_tpu.models.fast_infer import _ingest_q8
+
+            shard = batch_sharding(mesh)
+            scores = collect_masked_scores(
+                lambda qs: scorer(folded, qs[0], qs[1]),
+                ds, args.batch_size,
+                prepare_batch=lambda b: _ingest_q8(b.features, shard),
+                stats=stats,
+            )
         else:
             shard = batch_sharding(mesh)
             scores = collect_masked_scores(
@@ -141,7 +167,7 @@ def main(argv=None):
             batch_size=args.batch_size, swap_tf=args.swap_tf,
             apply_sigmoid=args.apply_sigmoid,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-            stats=stats,
+            stats=stats, ingest_int8=args.ingest_int8,
         )
     elif args.fast:
         from dfac_tpu.models.fast_infer import predict_scores_fast
@@ -151,7 +177,7 @@ def main(argv=None):
             batch_size=args.batch_size, swap_tf=args.swap_tf,
             apply_sigmoid=args.apply_sigmoid,
             compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-            stats=stats,
+            stats=stats, ingest_int8=args.ingest_int8,
         )
     else:
         scores = predict_scores(

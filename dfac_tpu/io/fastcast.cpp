@@ -21,6 +21,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
 
@@ -103,6 +104,57 @@ void dfac_gather_cast_f32_bf16(const float* src, const int64_t* idx,
   for (auto& th : pool) th.join();
 }
 
+// ---- int8 quantized ingest -------------------------------------------
+//
+// Serving transfers are the wall on thin host->device links (PCIe on a
+// production host, the tunnel relay on the bench rig — measured in
+// results/v5e_measurements.md). Quantizing feature rows to int8 with a
+// per-(row, group) symmetric scale halves the bytes again vs bf16:
+// for (n_rows, F, T) corpora the group is a feature dim's T contiguous
+// frames, so each (row, f) stretch gets scale = amax/127 and
+// q = rint(x / scale) in [-127, 127]. The device dequantizes
+// (q * scale) fused into the first conv. Bit-exact with the numpy
+// fallback in fastcast.py (same f32 divide + round-to-nearest-even).
+
+void quant_rows(const float* src, int64_t n_groups, int64_t group_elems,
+                int8_t* q, float* scales, int64_t lo, int64_t hi) {
+  for (int64_t g = lo * n_groups; g < hi * n_groups; ++g) {
+    const float* x = src + g * group_elems;
+    int8_t* out = q + g * group_elems;
+    float amax = 0.0f;
+    for (int64_t i = 0; i < group_elems; ++i) {
+      const float a = x[i] < 0.0f ? -x[i] : x[i];
+      if (a > amax) amax = a;
+    }
+    const float scale = amax > 0.0f ? amax / 127.0f : 1.0f;
+    scales[g] = scale;
+    for (int64_t i = 0; i < group_elems; ++i) {
+      float r = __builtin_nearbyintf(x[i] / scale);
+      if (r > 127.0f) r = 127.0f;
+      if (r < -127.0f) r = -127.0f;
+      out[i] = static_cast<int8_t>(r);
+    }
+  }
+}
+
+void run_rows(int64_t n_rows, int64_t row_elems, int threads,
+              const std::function<void(int64_t, int64_t)>& body) {
+  if (threads <= 1 || n_rows * row_elems < (1 << 16) || n_rows <= 1) {
+    body(0, n_rows);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  const int64_t chunk = (n_rows + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = lo + chunk < n_rows ? lo + chunk : n_rows;
+    if (lo >= hi) break;
+    pool.emplace_back(body, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Plain parallel memcpy of rows (f32 -> f32) for the non-bf16 paths:
 // parallelizes the page-fault/copy cost of pulling memmap rows.
 void dfac_gather_f32(const float* src, const int64_t* idx, int64_t n_rows,
@@ -129,6 +181,34 @@ void dfac_gather_f32(const float* src, const int64_t* idx, int64_t n_rows,
   for (auto& th : pool) th.join();
 }
 
-int dfac_native_abi_version(void) { return 1; }
+// Contiguous per-group int8 quantize: src is (n_rows, n_groups,
+// group_elems) float32; writes q (same shape, int8) and scales
+// (n_rows, n_groups) float32.
+void dfac_quant_i8(const float* src, int64_t n_rows, int64_t n_groups,
+                   int64_t group_elems, int8_t* q, float* scales,
+                   int threads) {
+  run_rows(n_rows, n_groups * group_elems, threads,
+           [=](int64_t lo, int64_t hi) {
+             quant_rows(src, n_groups, group_elems, q, scales, lo, hi);
+           });
+}
+
+// Row gather + int8 quantize: row r of the output quantizes
+// src[idx[r]] — shuffled batch assembly straight off the memory-mapped
+// corpus with no float32 intermediate.
+void dfac_gather_quant_i8(const float* src, const int64_t* idx,
+                          int64_t n_rows, int64_t n_groups,
+                          int64_t group_elems, int8_t* q, float* scales,
+                          int threads) {
+  const int64_t row_elems = n_groups * group_elems;
+  run_rows(n_rows, row_elems, threads, [=](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      quant_rows(src + idx[r] * row_elems, n_groups, group_elems,
+                 q + r * row_elems, scales + r * n_groups, 0, 1);
+    }
+  });
+}
+
+int dfac_native_abi_version(void) { return 2; }
 
 }  // extern "C"

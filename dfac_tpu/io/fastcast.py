@@ -43,7 +43,7 @@ import threading
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fastcast.cpp")
-_ABI = 1
+_ABI = 2
 _BASE_FLAGS = ["-O3", "-shared", "-fPIC", "-pthread"]
 
 _lock = threading.Lock()
@@ -116,6 +116,14 @@ def _bind(lib) -> bool:
         lib.dfac_gather_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.dfac_quant_i8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.dfac_gather_quant_i8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         return True
     except AttributeError:
@@ -242,6 +250,85 @@ def gather_cast_bf16(
         threads if threads is not None else default_threads(),
     )
     return out
+
+
+def _quant_i8_numpy(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Reference int8 quantize, bit-exact with the native kernel: same f32
+    divide and round-to-nearest-even (np.rint == C nearbyint under the
+    default rounding mode)."""
+    a = np.asarray(a, dtype=np.float32)
+    amax = np.max(np.abs(a), axis=-1)
+    scales = np.where(amax > 0, amax / np.float32(127.0), np.float32(1.0)).astype(
+        np.float32
+    )
+    q = np.clip(np.rint(a / scales[..., None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def quant_i8(
+    arr: np.ndarray, threads: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-group int8 quantization of feature rows.
+
+    ``arr`` is (..., G) float32 (typically (B, F, T): each feature dim's T
+    contiguous frames form one scale group); returns ``(q, scales)`` with
+    ``q`` int8 of ``arr``'s shape and ``scales`` float32 of shape
+    ``arr.shape[:-1]`` such that ``q * scales[..., None] ~= arr`` with
+    ~1/254 of the group's max-abs as the quantization step. Halves the
+    host->device bytes again vs bf16 — the serving ingest path for
+    transfer-bound links (``dfac-predict --fast --ingest-int8``). Groups
+    whose max-abs is 0 get scale 1.0 (all-zero q). Native multithreaded
+    kernel with a bit-exact numpy fallback.
+    """
+    a = np.asarray(arr)
+    lib = load()
+    if (
+        lib is None
+        or a.dtype != np.float32
+        or not a.flags.c_contiguous
+        or a.ndim < 2
+    ):
+        return _quant_i8_numpy(a)
+    group_elems = a.shape[-1]
+    n_groups = a.shape[-2]
+    n_rows = int(np.prod(a.shape[:-2], dtype=np.int64)) if a.ndim > 2 else 1
+    q = np.empty(a.shape, dtype=np.int8)
+    scales = np.empty(a.shape[:-1], dtype=np.float32)
+    lib.dfac_quant_i8(
+        a.ctypes.data, n_rows, n_groups, group_elems,
+        q.ctypes.data, scales.ctypes.data,
+        threads if threads is not None else default_threads(),
+    )
+    return q, scales
+
+
+def gather_quant_i8(
+    src: np.ndarray, idx: np.ndarray, threads: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """``quant_i8(src[idx])`` without the float32 intermediate — shuffled
+    batch assembly straight off the memory-mapped corpus. ``src`` is
+    (N, G, T) float32; returns ``(q (len(idx), G, T) int8, scales
+    (len(idx), G) f32)``."""
+    lib = load()
+    src = np.asarray(src) if not isinstance(src, np.ndarray) else src
+    if (
+        lib is None
+        or src.dtype != np.float32
+        or not src.flags.c_contiguous
+        or src.ndim < 3
+    ):
+        return _quant_i8_numpy(np.asarray(src[np.asarray(idx)]))
+    idx64 = _checked_idx(idx, len(src))
+    n_groups = int(np.prod(src.shape[1:-1], dtype=np.int64))
+    group_elems = src.shape[-1]
+    q = np.empty((len(idx64),) + src.shape[1:], dtype=np.int8)
+    scales = np.empty((len(idx64),) + src.shape[1:-1], dtype=np.float32)
+    lib.dfac_gather_quant_i8(
+        src.ctypes.data, idx64.ctypes.data, len(idx64), n_groups, group_elems,
+        q.ctypes.data, scales.ctypes.data,
+        threads if threads is not None else default_threads(),
+    )
+    return q, scales
 
 
 def gather_f32(

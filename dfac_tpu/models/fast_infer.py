@@ -92,20 +92,8 @@ def fold_cnn2d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
     return folded
 
 
-@functools.partial(jax.jit, static_argnames=("apply_sigmoid", "compute_dtype"))
-def cnn2d_fast_scores(
-    folded: dict,
-    feats_stored: jax.Array,
-    apply_sigmoid: bool = True,
-    compute_dtype: Any = jnp.bfloat16,
-):
-    """Stored-orientation (B, F, T) features -> (B,) scores.
-
-    Equivalent to ``sigmoid(CNN2D.apply(vars, transpose(feats)))`` with BN
-    in eval mode.
-    """
-    dt = compute_dtype
-    h = feats_stored.astype(dt)[..., None]  # (B, F, T, 1): grid is (F, T)
+def _cnn2d_chain_scores(folded, h, apply_sigmoid, dt):
+    """The FT-grid folded chain body: ``h`` is (B, F, T, 1) in ``dt``."""
     for i in (1, 2, 3):
         # swapped-grid convolution: transpose the kernel's spatial dims
         k = jnp.swapaxes(folded[f"w{i}"], 0, 1).astype(dt)
@@ -127,6 +115,60 @@ def cnn2d_fast_scores(
     return jax.nn.sigmoid(logits) if apply_sigmoid else logits
 
 
+@functools.partial(jax.jit, static_argnames=("apply_sigmoid", "compute_dtype"))
+def cnn2d_fast_scores(
+    folded: dict,
+    feats_stored: jax.Array,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """Stored-orientation (B, F, T) features -> (B,) scores.
+
+    Equivalent to ``sigmoid(CNN2D.apply(vars, transpose(feats)))`` with BN
+    in eval mode.
+    """
+    dt = compute_dtype
+    h = feats_stored.astype(dt)[..., None]  # (B, F, T, 1): grid is (F, T)
+    return _cnn2d_chain_scores(folded, h, apply_sigmoid, dt)
+
+
+def _dequant8(q: jax.Array, scales: jax.Array, dt) -> jax.Array:
+    """int8 rows + per-group scales -> ``dt`` features: ``q * scales``
+    broadcast over the group (last) axis, f32 multiply then one cast —
+    the device half of :func:`dfac_tpu.io.fastcast.quant_i8`. Fuses into
+    whatever consumes it under jit (one elementwise op before the first
+    conv — no extra HBM round trip)."""
+    return (q.astype(jnp.float32) * scales[..., None].astype(jnp.float32)).astype(dt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("swap_tf", "apply_sigmoid", "compute_dtype")
+)
+def cnn2d_fast_scores_q8(
+    folded: dict,
+    q: jax.Array,
+    scales: jax.Array,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """int8-quantized features -> (B,) scores through the folded chain.
+
+    ``q``/``scales`` come from :func:`dfac_tpu.io.fastcast.quant_i8` on
+    the host: ``swap_tf=True`` means rows are stored-orientation
+    (B, F, T) with one scale per (utterance, feature dim); False means
+    (B, T, F) rows scaled per (utterance, frame). Halves the bytes over
+    the host->device link vs bf16 ingest; the dequantize fuses into the
+    first conv. Scores differ from the bf16 chain only by the ~amax/254
+    per-group quantization step (EER parity test-gated,
+    ``tests/test_fast_infer.py``)."""
+    dt = compute_dtype
+    h = _dequant8(q, scales, dt)[..., None]
+    if swap_tf:
+        return _cnn2d_chain_scores(folded, h, apply_sigmoid, dt)
+    return _cnn2d_chain_scores_tf(folded, h, apply_sigmoid, dt)
+
+
 def predict_scores_fast(
     variables: dict,
     ds,
@@ -135,6 +177,7 @@ def predict_scores_fast(
     apply_sigmoid: bool = True,
     compute_dtype: Any = jnp.bfloat16,
     stats=None,
+    ingest_int8: bool = False,
 ):
     """Score a whole :class:`~dfac_tpu.data.pipeline.ArrayDataset` through
     the folded-BN serving chain; returns (N,) float32 in dataset order.
@@ -147,10 +190,23 @@ def predict_scores_fast(
     mirrors the reference predict CLI semantics (``src/predict.py:100-111``):
     True means features are stored (F, T) and the model sees the transposed
     grid — here realized transpose-free via the swapped-kernel formulation.
+    ``ingest_int8`` uploads int8-quantized rows + per-group scales (half
+    the link bytes of bf16) and dequantizes fused into the first conv —
+    for transfer-bound hosts; scores shift by the quantization step only.
     """
     from dfac_tpu.train.evaluate import collect_masked_scores
 
     folded = fold_cnn2d(variables)
+    if ingest_int8:
+        return collect_masked_scores(
+            lambda qs: cnn2d_fast_scores_q8(
+                folded, qs[0], qs[1], swap_tf=swap_tf,
+                apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+            ),
+            ds, batch_size,
+            prepare_batch=lambda b: _ingest_q8(b.features),
+            stats=stats,
+        )
     score = cnn2d_fast_scores if swap_tf else cnn2d_fast_scores_tf
     return collect_masked_scores(
         lambda feats: score(
@@ -188,6 +244,19 @@ def _ingest(feats_np, compute_dtype, sharding=None):
     return jax.device_put(np.ascontiguousarray(feats_np), sharding)
 
 
+def _ingest_q8(feats_np, sharding=None):
+    """int8 host -> device upload: quantize rows per (utterance, group)
+    on the host (native multithreaded kernel) and upload ``(q, scales)``
+    — half the link bytes of the bf16 :func:`_ingest`, for
+    transfer-bound hosts (thin PCIe, the bench rig's relay). Both
+    uploads are async; ``sharding`` (batch-axis) applies to both arrays
+    (scales shard on the same leading utterance axis)."""
+    from dfac_tpu.io.fastcast import quant_i8
+
+    q, scales = quant_i8(np.asarray(feats_np))
+    return jax.device_put(q, sharding), jax.device_put(scales, sharding)
+
+
 def fold_cnn1d(variables: dict, num_blocks: int = 3, eps: float = 1e-5) -> dict:
     """Fold BatchNorm1d stats into the CNN1D conv kernels/biases
     (reference eval path ``src/model_cnn1d.py:37-46``). The folding
@@ -213,6 +282,11 @@ def cnn1d_fast_scores(
     """
     dt = compute_dtype
     h = (jnp.swapaxes(feats, 1, 2) if swap_tf else feats).astype(dt)  # (B, T, F)
+    return _cnn1d_chain_scores(folded, h, apply_sigmoid, dt)
+
+
+def _cnn1d_chain_scores(folded, h, apply_sigmoid, dt):
+    """The folded CNN1D chain body: ``h`` is (B, T, F) in ``dt``."""
     for i in (1, 2, 3):
         h = jax.lax.conv_general_dilated(
             h, folded[f"w{i}"].astype(dt), (1,), "SAME",
@@ -224,6 +298,27 @@ def cnn1d_fast_scores(
     logits = hm.astype(dt) @ folded["w_cls"].astype(dt) + folded["b_cls"]
     logits = logits[:, 0].astype(jnp.float32)
     return jax.nn.sigmoid(logits) if apply_sigmoid else logits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("swap_tf", "apply_sigmoid", "compute_dtype")
+)
+def cnn1d_fast_scores_q8(
+    folded: dict,
+    q: jax.Array,
+    scales: jax.Array,
+    swap_tf: bool = True,
+    apply_sigmoid: bool = True,
+    compute_dtype: Any = jnp.bfloat16,
+):
+    """int8-quantized features -> (B,) scores through the folded CNN1D
+    chain (see :func:`cnn2d_fast_scores_q8` for the quantization
+    contract). The dequantize happens in the QUANTIZED orientation, then
+    the swap — scales always broadcast over the axis they grouped."""
+    dt = compute_dtype
+    x = _dequant8(q, scales, dt)
+    h = jnp.swapaxes(x, 1, 2) if swap_tf else x  # (B, T, F)
+    return _cnn1d_chain_scores(folded, h, apply_sigmoid, dt)
 
 
 def fold_cae(variables: dict, eps: float = 1e-5) -> dict:
@@ -334,11 +429,24 @@ def predict_scores_fast_cnn1d(
     apply_sigmoid: bool = True,
     compute_dtype: Any = jnp.bfloat16,
     stats=None,
+    ingest_int8: bool = False,
 ):
-    """Whole-dataset CNN1D scoring through the folded-BN chain; (N,) f32."""
+    """Whole-dataset CNN1D scoring through the folded-BN chain; (N,) f32.
+
+    ``ingest_int8`` as in :func:`predict_scores_fast`."""
     from dfac_tpu.train.evaluate import collect_masked_scores
 
     folded = fold_cnn1d(variables)
+    if ingest_int8:
+        return collect_masked_scores(
+            lambda qs: cnn1d_fast_scores_q8(
+                folded, qs[0], qs[1], swap_tf=swap_tf,
+                apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+            ),
+            ds, batch_size,
+            prepare_batch=lambda b: _ingest_q8(b.features),
+            stats=stats,
+        )
     return collect_masked_scores(
         lambda feats: cnn1d_fast_scores(
             folded, feats, swap_tf=swap_tf,
@@ -398,6 +506,11 @@ def cnn2d_fast_scores_tf(
     """
     dt = compute_dtype
     h = feats_tf.astype(dt)[..., None]  # (B, T, F, 1): grid is (T, F)
+    return _cnn2d_chain_scores_tf(folded, h, apply_sigmoid, dt)
+
+
+def _cnn2d_chain_scores_tf(folded, h, apply_sigmoid, dt):
+    """The TF-grid folded chain body: ``h`` is (B, T, F, 1) in ``dt``."""
     for i in (1, 2, 3):
         h = jax.lax.conv_general_dilated(
             h, folded[f"w{i}"].astype(dt), (1, 1), "SAME",

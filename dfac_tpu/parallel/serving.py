@@ -47,15 +47,18 @@ def _fast_score_waves(folded, waves, cfg, frontend, apply_sigmoid, compute_dtype
     )
 
 
-def _sharded_batch_scorer(score_batch, mesh: Mesh, axis_name: str, n_consts: int):
-    """shard_map a per-batch scorer ``(consts..., batch) -> (rows,)`` —
-    consts replicated, the batch (last arg) and output sharded over
-    ``axis_name``. The one copy of the per-batch shard plumbing."""
+def _sharded_batch_scorer(
+    score_batch, mesh: Mesh, axis_name: str, n_consts: int, n_batch: int = 1
+):
+    """shard_map a per-batch scorer ``(consts..., batch...) -> (rows,)`` —
+    consts replicated, the ``n_batch`` trailing args (feature rows, and
+    e.g. their int8 scales) and the output sharded over ``axis_name`` on
+    the utterance axis. The one copy of the per-batch shard plumbing."""
     return jax.jit(
         shard_map(
             score_batch,
             mesh=mesh,
-            in_specs=(P(),) * n_consts + (P(axis_name),),
+            in_specs=(P(),) * n_consts + (P(axis_name),) * n_batch,
             out_specs=P(axis_name),
         )
     )
@@ -265,16 +268,21 @@ def make_sharded_cnn2d_feature_scorer(
     compute_dtype: Any = jnp.bfloat16,
     axis_name: str = "data",
     model: str = "cnn2d",
+    ingest_int8: bool = False,
 ):
     """jit'd sharded folded-BN scorer over precomputed features:
     ``(folded, feats (B, F, T) stored or (B, T, F) when swap_tf=False) ->
     (B,) scores`` — the ``dfac-predict --fast --data-parallel`` chain, for
     cnn2d (default) or cnn1d folded params. Per-sample math identical to
     the single-chip folded composition; B must divide by the mesh's
-    ``axis_name`` size."""
+    ``axis_name`` size. With ``ingest_int8`` the scorer takes
+    ``(folded, q, scales)`` from :func:`dfac_tpu.io.fastcast.quant_i8`
+    (both sharded on the utterance axis) and dequantizes on-chip."""
     from dfac_tpu.models.fast_infer import (
         cnn1d_fast_scores,
+        cnn1d_fast_scores_q8,
         cnn2d_fast_scores,
+        cnn2d_fast_scores_q8,
         cnn2d_fast_scores_tf,
     )
 
@@ -282,6 +290,19 @@ def make_sharded_cnn2d_feature_scorer(
         # a typo must not silently fall through to the cnn2d branch and
         # feed (K, CI, CO) cnn1d kernels to the 2-D conv path
         raise ValueError(f"no folded sharded scorer for model {model!r} (cnn2d | cnn1d)")
+
+    if ingest_int8:
+        score_q8 = cnn1d_fast_scores_q8 if model == "cnn1d" else cnn2d_fast_scores_q8
+
+        def score_batch_q8(folded, q, scales):
+            return score_q8(
+                folded, q, scales, swap_tf=swap_tf,
+                apply_sigmoid=apply_sigmoid, compute_dtype=compute_dtype,
+            )
+
+        return _sharded_batch_scorer(
+            score_batch_q8, mesh, axis_name, n_consts=1, n_batch=2
+        )
 
     def score_batch(folded, feats):
         if model == "cnn1d":

@@ -90,13 +90,18 @@ def main():
     warm_ds = ArrayDataset(
         uttids=ds.uttids[: 2 * B], features=np.asarray(ds.features[: 2 * B]), labels=None
     )
-    for label, dtype in (("bf16 ingest", jnp.bfloat16), ("f32 ingest", jnp.float32)):
-        predict_scores_fast(variables, warm_ds, B, compute_dtype=dtype)  # compile
+    for label, dtype, kw, row_bytes in (
+        ("bf16 ingest", jnp.bfloat16, {}, F * T * 2),
+        ("f32 ingest", jnp.float32, {}, F * T * 4),
+        # int8 rows + one f32 scale per (utt, feature dim): half of bf16
+        ("int8 ingest", jnp.bfloat16, {"ingest_int8": True}, F * T + F * 4),
+    ):
+        predict_scores_fast(variables, warm_ds, B, compute_dtype=dtype, **kw)  # compile
         t0 = time.perf_counter()
-        scores = predict_scores_fast(variables, ds, B, compute_dtype=dtype)
+        scores = predict_scores_fast(variables, ds, B, compute_dtype=dtype, **kw)
         dt_s = time.perf_counter() - t0
         assert len(scores) == n
-        bytes_moved = n * F * T * (2 if dtype == jnp.bfloat16 else 4)
+        bytes_moved = n * row_bytes
         print(
             f"disk->scores {label}: {n/dt_s:10,.0f} utt/s "
             f"({bytes_moved/dt_s/1e9:.2f} GB/s ingest, {dt_s:.1f} s / {n})"

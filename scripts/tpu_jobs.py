@@ -37,6 +37,7 @@ JOBS = [
     ("chunked", [sys.executable, "scripts/chunked_probe.py"], 3600),
     ("trainfast", [sys.executable, "scripts/train_fast_probe.py"], 3600),
     ("bench", [sys.executable, "bench.py"], 3600),
+    ("h2d", [sys.executable, "scripts/h2d_probe.py"], 3600),
 ]
 
 

@@ -284,3 +284,55 @@ def test_train_fast_recipe_flag():
     # an explicit user FRAC wins over the recipe default
     a = parse_args(base + ["--train-fast", "--bn-freeze-after", "0.8"])
     assert a.bn_freeze_after == 0.8
+
+
+def test_predict_ingest_int8_matches_fast(corpus_dir, tmp_path):
+    """--ingest-int8: int8-quantized upload + fused dequant produces
+    predictions within the quantization step of the plain fast chain,
+    single-device and sharded over the virtual mesh; flag misuse errors."""
+    import jax
+
+    from dfac_tpu.cli import predict as predict_cli
+    from dfac_tpu.cli import train as train_cli
+
+    ckdir = str(tmp_path / "ck_q8")
+    train_cli.main([
+        "--train-features", str(corpus_dir / "train/features.pkl"),
+        "--train-labels", str(corpus_dir / "train/labels.pkl"),
+        "--dev-features", str(corpus_dir / "dev/features.pkl"),
+        "--dev-labels", str(corpus_dir / "dev/labels.pkl"),
+        "--model", "cnn2d", "--epochs", "1", "--batch-size", "8",
+        "--checkpoint-dir", ckdir, "--quiet",
+    ])
+    ckpt = os.path.join(ckdir, "cnn2d_best.ckpt")
+
+    outs = {}
+    cases = [("fast", ["--fast"]), ("q8", ["--fast", "--ingest-int8"])]
+    if len(jax.devices()) >= 4:
+        cases.append(
+            ("q8_dp", ["--fast", "--ingest-int8", "--data-parallel", "4"])
+        )
+    for tag, extra in cases:
+        path = str(tmp_path / f"pred_{tag}.pkl")
+        predict_cli.main([
+            "--features", str(corpus_dir / "test/features.pkl"),
+            "--checkpoint", ckpt, "--model", "cnn2d", "--out", path,
+            "--batch-size", "8", *extra,
+        ])
+        outs[tag] = pd.read_pickle(path)
+
+    np.testing.assert_allclose(
+        outs["q8"]["predictions"], outs["fast"]["predictions"], atol=3e-2
+    )
+    if "q8_dp" in outs:
+        # sharded q8 == single-device q8 exactly (same math per shard)
+        np.testing.assert_allclose(
+            outs["q8_dp"]["predictions"], outs["q8"]["predictions"], atol=1e-6
+        )
+
+    with pytest.raises(SystemExit, match="folded fast chain"):
+        predict_cli.main([
+            "--features", str(corpus_dir / "test/features.pkl"),
+            "--checkpoint", ckpt, "--model", "cnn2d", "--out", "x.pkl",
+            "--ingest-int8", "--batch-size", "8",
+        ])

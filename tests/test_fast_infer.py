@@ -331,3 +331,108 @@ def test_cae_corpus_scorer_does_not_prequantize_input(rng):
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_q8_chain_matches_f32_chain(rng):
+    """int8-quantized ingest: scores through cnn2d_fast_scores_q8 must sit
+    within the quantization step of the unquantized chain, in both
+    orientations (q8 is a transfer-format change, not a model change)."""
+    from dfac_tpu.io.fastcast import quant_i8
+    from dfac_tpu.models.fast_infer import cnn2d_fast_scores_q8, fold_cnn2d
+
+    model, variables = _trained_like_variables(rng)
+    feats_stored = rng.normal(size=(B_, F_, T_)).astype(np.float32)
+    folded = fold_cnn2d(variables)
+
+    ref = np.asarray(
+        cnn2d_fast_scores(folded, jnp.asarray(feats_stored), compute_dtype=jnp.float32)
+    )
+    q, s = quant_i8(feats_stored)
+    got = np.asarray(
+        cnn2d_fast_scores_q8(
+            folded, jnp.asarray(q), jnp.asarray(s), compute_dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+    # tf orientation: quantize the (B, T, F) rows, same contract
+    from dfac_tpu.models.fast_infer import cnn2d_fast_scores_tf
+
+    feats_tf = np.ascontiguousarray(feats_stored.transpose(0, 2, 1))
+    ref_tf = np.asarray(
+        cnn2d_fast_scores_tf(folded, jnp.asarray(feats_tf), compute_dtype=jnp.float32)
+    )
+    qt, st = quant_i8(feats_tf)
+    got_tf = np.asarray(
+        cnn2d_fast_scores_q8(
+            folded, jnp.asarray(qt), jnp.asarray(st), swap_tf=False,
+            compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(got_tf, ref_tf, atol=2e-2)
+
+
+def test_q8_cnn1d_chain_matches_f32_chain(rng):
+    from dfac_tpu.io.fastcast import quant_i8
+    from dfac_tpu.models.fast_infer import (
+        cnn1d_fast_scores,
+        cnn1d_fast_scores_q8,
+        fold_cnn1d,
+    )
+
+    model = build_model("cnn1d", in_channels=F_, base_channels=8)
+    variables = _randomize_bn(
+        model.init({"params": jax.random.key(0)}, jnp.zeros((1, T_, F_))), rng
+    )
+    feats_stored = rng.normal(size=(B_, F_, T_)).astype(np.float32)
+    folded = fold_cnn1d(variables)
+    ref = np.asarray(
+        cnn1d_fast_scores(folded, jnp.asarray(feats_stored), compute_dtype=jnp.float32)
+    )
+    q, s = quant_i8(feats_stored)
+    got = np.asarray(
+        cnn1d_fast_scores_q8(
+            folded, jnp.asarray(q), jnp.asarray(s), compute_dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_q8_ingest_preserves_eer(rng):
+    """BASELINE contract check for --ingest-int8: EER on a separable corpus
+    must match the f32 fast chain exactly (scores shift by the quantization
+    step; the ranking of well-separated scores must not)."""
+    from dfac_tpu.data.pipeline import ArrayDataset
+    from dfac_tpu.models.fast_infer import predict_scores_fast
+    from dfac_tpu.ops.eer import calculate_eer
+
+    model, variables = _trained_like_variables(rng)
+    n = 64
+    labels = (np.arange(n) % 2).astype(np.float32)
+    feats = rng.normal(size=(n, F_, T_)).astype(np.float32)
+    feats[labels == 1, : F_ // 2] += 2.0  # separable classes
+    ds = ArrayDataset(uttids=[f"u{i}" for i in range(n)], features=feats, labels=None)
+
+    kw = dict(batch_size=16, swap_tf=True, apply_sigmoid=True)
+    ref = predict_scores_fast(variables, ds, compute_dtype=jnp.float32, **kw)
+    q8 = predict_scores_fast(
+        variables, ds, compute_dtype=jnp.bfloat16, ingest_int8=True, **kw
+    )
+    assert q8.shape == (n,)
+    np.testing.assert_allclose(q8, ref, atol=3e-2)
+    eer_ref, _ = calculate_eer(ref, labels)
+    eer_q8, _ = calculate_eer(q8, labels)
+    assert abs(eer_q8 - eer_ref) <= 1e-3
+
+    # cnn1d whole-dataset q8 path
+    from dfac_tpu.models.fast_infer import predict_scores_fast_cnn1d
+
+    m1 = build_model("cnn1d", in_channels=F_, base_channels=8)
+    v1 = _randomize_bn(
+        m1.init({"params": jax.random.key(0)}, jnp.zeros((1, T_, F_))), rng
+    )
+    ref1 = predict_scores_fast_cnn1d(v1, ds, compute_dtype=jnp.float32, **kw)
+    q81 = predict_scores_fast_cnn1d(
+        v1, ds, compute_dtype=jnp.bfloat16, ingest_int8=True, **kw
+    )
+    np.testing.assert_allclose(q81, ref1, atol=3e-2)

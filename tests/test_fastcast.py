@@ -202,3 +202,68 @@ def test_gather_bounds_checked(rng):
         fc.gather_f32(src, np.array([0, 10]))
     with pytest.raises(IndexError, match="out of bounds"):
         fc.gather_cast_bf16(src, np.array([-1, 2]))
+
+
+class TestQuantI8:
+    """int8 quantized ingest: native/numpy bit-exactness + the
+    dequantization error bound that the q8 serving chains rely on."""
+
+    def test_native_matches_numpy_fallback(self, rng):
+        a = (rng.normal(size=(37, 18, 321)) * 10.0 ** rng.integers(-8, 8, (37, 18, 321))).astype(np.float32)
+        qn, sn = fc.quant_i8(a)
+        qf, sf = fc._quant_i8_numpy(a)
+        np.testing.assert_array_equal(qn, qf)
+        np.testing.assert_array_equal(sn.view(np.uint32), sf.view(np.uint32))
+
+    def test_roundtrip_error_bound(self, rng):
+        a = rng.normal(size=(16, 20, 33)).astype(np.float32)
+        q, s = fc.quant_i8(a)
+        assert q.dtype == np.int8 and s.dtype == np.float32
+        assert q.shape == a.shape and s.shape == a.shape[:-1]
+        recon = q.astype(np.float32) * s[..., None]
+        # per-group step is scale = amax/127; round-to-nearest error is
+        # step/2, plus the f32 rounding of the divide and the dequant
+        # multiply (hence the 1% slack on the half-step)
+        np.testing.assert_array_less(
+            np.abs(recon - a),
+            np.broadcast_to(s[..., None] * 0.505 + 1e-12, a.shape),
+        )
+
+    def test_zero_and_constant_groups(self):
+        a = np.zeros((2, 3, 5), np.float32)
+        a[1, 1] = -4.0  # constant-negative group
+        q, s = fc.quant_i8(a)
+        assert np.all(q[0] == 0) and np.all(s[0] == 1.0)
+        np.testing.assert_array_equal(q[1, 1], np.full(5, -127, np.int8))
+        np.testing.assert_allclose(q[1, 1] * s[1, 1], a[1, 1], rtol=1e-6)
+
+    def test_gather_quant_matches_contiguous(self, rng):
+        src = rng.normal(size=(50, 6, 17)).astype(np.float32)
+        idx = rng.permutation(50)[:20]
+        qg, sg = fc.gather_quant_i8(src, idx)
+        qc, sc = fc.quant_i8(np.ascontiguousarray(src[idx]))
+        np.testing.assert_array_equal(qg, qc)
+        np.testing.assert_array_equal(sg.view(np.uint32), sc.view(np.uint32))
+
+    def test_gather_quant_from_memmap(self, rng, tmp_path):
+        src = rng.normal(size=(24, 5, 9)).astype(np.float32)
+        p = tmp_path / "feats.npy"
+        np.save(p, src)
+        mm = np.load(p, mmap_mode="r")
+        idx = rng.permutation(24)
+        qg, sg = fc.gather_quant_i8(mm, idx)
+        qc, sc = fc._quant_i8_numpy(src[idx])
+        np.testing.assert_array_equal(qg, qc)
+        np.testing.assert_array_equal(sg.view(np.uint32), sc.view(np.uint32))
+
+    def test_gather_quant_bounds_checked(self, rng):
+        src = rng.normal(size=(10, 4, 4)).astype(np.float32)
+        with pytest.raises(IndexError, match="out of bounds"):
+            fc.gather_quant_i8(src, np.array([0, 10]))
+
+    def test_threads_agree(self, rng):
+        a = rng.normal(size=(64, 32, 64)).astype(np.float32)  # > cutoff
+        q1, s1 = fc.quant_i8(a, threads=1)
+        q7, s7 = fc.quant_i8(a, threads=7)
+        np.testing.assert_array_equal(q1, q7)
+        np.testing.assert_array_equal(s1.view(np.uint32), s7.view(np.uint32))

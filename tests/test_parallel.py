@@ -524,3 +524,36 @@ def test_dp_dropout_masks_differ_across_shards(eight_devices):
     labels = jnp.asarray((np.arange(16) % 2).astype(np.float32))
     new_state, loss, count = step(state, feats, labels, jnp.ones((16,), jnp.float32))
     assert np.isfinite(float(loss))
+
+
+def test_sharded_q8_feature_scorer_matches_single(rng, eight_devices):
+    """--ingest-int8 x --data-parallel: the sharded q8 scorer equals the
+    single-device q8 chain bit-for-bit (same dequant + folded chain per
+    shard; scores are embarrassingly parallel)."""
+    from dfac_tpu.io.fastcast import quant_i8
+    from dfac_tpu.models.fast_infer import (
+        cnn2d_fast_scores_q8,
+        fold_cnn2d,
+    )
+    from dfac_tpu.parallel.serving import make_sharded_cnn2d_feature_scorer
+
+    f_, t_, b = 20, 33, 16
+    model = build_model("cnn2d", in_features=f_, base_channels=4)
+    variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, t_, f_)))
+    folded = fold_cnn2d(variables)
+    feats = rng.normal(size=(b, f_, t_)).astype(np.float32)
+    q, s = quant_i8(feats)
+
+    ref = np.asarray(
+        cnn2d_fast_scores_q8(folded, jnp.asarray(q), jnp.asarray(s))
+    )
+
+    mesh = make_mesh(n_data=8, devices=eight_devices)
+    scorer = make_sharded_cnn2d_feature_scorer(mesh, ingest_int8=True)
+    sb = batch_sharding(mesh)
+    got = scorer(
+        folded,
+        jax.device_put(q, sb),
+        jax.device_put(s, sb),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
