@@ -101,10 +101,10 @@ class TrainConfig:
             raise ValueError("label_smoothing must be in [0, 0.5)")
         if not (0.0 <= self.bn_freeze_after_frac <= 1.0):
             raise ValueError("bn_freeze_after_frac must be in [0, 1]")
-        # bn_freeze_after_frac composes with every per-epoch path (host
-        # loop, device_resident, chunked, shard_map DP, multihost) — the
-        # trainer switches to the frozen program at the boundary epoch.
-        # Only fit_fused rejects it (one program for the whole run).
+        # bn_freeze_after_frac composes with every path: the per-epoch
+        # paths (host loop, device_resident, chunked, shard_map DP,
+        # multihost) switch to the frozen program at the boundary epoch,
+        # and fit_fused branches on epoch > freeze_epoch inside its scan.
         if self.data_parallel > 1 and self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly over data_parallel shards")
         if self.multihost and self.data_parallel <= 1:

@@ -38,6 +38,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # env JAX_PLATFORMS is ignored under the axon relay — honor it explicitly
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from dfac_tpu.features.lfcc import LFCCConfig

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Run the queued TPU measurement jobs the moment the relay answers.
 
-The round-3 TPU relay outage left five measurements pending (see
-results/round3_status.md). This runner executes them SERIALLY — jax
+Born during the round-3 TPU relay outage (see results/round3_status.md) as
+the recovery queue; now the standing one-command measurement suite for any
+round. This runner executes the jobs SERIALLY — jax
 processes must never share the relay concurrently — each in its own
 subprocess with a hard timeout, captures stdout/stderr to
 ``results/tpu_jobs/<name>.log``, and prints a one-line verdict per job.
@@ -36,8 +37,12 @@ JOBS = [
     ("hybrid", [sys.executable, "scripts/hybrid_profile.py"], 3600),
     ("chunked", [sys.executable, "scripts/chunked_probe.py"], 3600),
     ("trainfast", [sys.executable, "scripts/train_fast_probe.py"], 3600),
+    ("fusedfit", [sys.executable, "scripts/fused_fit_probe.py"], 3600),
+    ("servingsweep", [sys.executable, "scripts/serving_sweep.py"], 3600),
     ("bench", [sys.executable, "bench.py"], 3600),
     ("h2d", [sys.executable, "scripts/h2d_probe.py"], 3600),
+    # quality sweeps (longer; run after the perf probes)
+    ("geometry", [sys.executable, "scripts/bench_geometry.py"], 7200),
 ]
 
 
