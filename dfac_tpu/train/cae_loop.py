@@ -368,6 +368,11 @@ def make_fused_cae_fit(
             return carry, (nan, nan, carry[9], jnp.asarray(False), jnp.asarray(True))
 
         def body(carry, epoch):
+            if not cfg.early_stop:
+                # early stop disabled -> `stopped` can never become True;
+                # dropping the dead lax.cond lets XLA pipeline across the
+                # epoch boundary (see train/fused_fit.py, same finding)
+                return run_epoch(carry, epoch)
             return jax.lax.cond(carry[-1], skip_epoch, run_epoch, carry, epoch)
 
         init = (

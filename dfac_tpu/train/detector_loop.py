@@ -407,6 +407,11 @@ def make_fused_detector_fit(
             return carry, (nan, nan, jnp.asarray(False), jnp.asarray(True))
 
         def body(carry, args):
+            if cfg.patience >= cfg.epochs:
+                # `bad` grows by at most 1 per epoch from 0, so it can never
+                # reach patience within the run: stopping is impossible and
+                # the lax.cond would be dead weight (see train/fused_fit.py)
+                return run_epoch(carry, args)
             return jax.lax.cond(carry[-1], skip_epoch, run_epoch, carry, args)
 
         init = (

@@ -64,9 +64,15 @@ def main():
     dev_ds = corpus(args.n_dev, 1)
 
     def timed_fit(cfg, fused: bool):
-        best = float("inf")
+        # ONE trainer for all reps: the fused program is memoized on the
+        # trainer (trainer._fused_fn) and the per-epoch programs live in the
+        # jit cache, so rep 0 pays trace+compile and reps 1+ measure the
+        # steady-state wall — what an 80-epoch production run amortizes to.
+        # (A fresh Trainer per rep re-pays ~200s of relay-side compile: the
+        # persistent compile cache does not apply across processes here.)
+        trainer = Trainer(cfg)
+        best, cold = float("inf"), 0.0
         for rep in range(args.reps + 1):  # rep 0 = compile warmup
-            trainer = Trainer(cfg)
             t0 = time.perf_counter()
             if fused:
                 trainer.fit_fused(train_ds, dev_ds)
@@ -75,7 +81,9 @@ def main():
             dt = time.perf_counter() - t0
             if rep:
                 best = min(best, dt)
-        return best
+            else:
+                cold = dt
+        return best, cold
 
     recipes = {
         "baseline": dict(dropout=0.2, bn_freeze_after_frac=0.0),
@@ -87,13 +95,14 @@ def main():
             in_features=F_DIM, device_resident=True, early_stop=0,
             compute_dtype="bfloat16", **knobs,
         )
-        t_epoch = timed_fit(cfg, fused=False)
-        t_fused = timed_fit(cfg, fused=True)
+        t_epoch, c_epoch = timed_fit(cfg, fused=False)
+        t_fused, c_fused = timed_fit(cfg, fused=True)
         n_total = args.n * args.epochs
         print(
             f"{name:11s} per-epoch resident {t_epoch:7.3f}s ({n_total / t_epoch:7,.0f} utt/s)"
             f"   fused one-dispatch {t_fused:7.3f}s ({n_total / t_fused:7,.0f} utt/s)"
-            f"   fused saves {t_epoch - t_fused:+.3f}s",
+            f"   fused saves {t_epoch - t_fused:+.3f}s"
+            f"   [cold incl. compile: per-epoch {c_epoch:.1f}s, fused {c_fused:.1f}s]",
             flush=True,
         )
 
