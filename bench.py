@@ -118,13 +118,19 @@ def main() -> None:
 
     score_corpus()  # warmup / compile
 
-    best = float("inf")
-    for _ in range(5):
+    # Median over repeats, with the spread REPORTED: cross-session relay
+    # variance measured up to ~4% between rounds (BENCH_r04 27,955 vs the
+    # in-round 29,019 — reconciled in results/v5e_measurements.md), so a
+    # bare point estimate can't distinguish relay weather from a real
+    # regression. The JSON keeps the driver contract (metric/value/unit/
+    # vs_baseline) and adds the within-session min/max and rep count.
+    times = []
+    for _ in range(7):
         t0 = time.perf_counter()
         score_corpus()
-        best = min(best, time.perf_counter() - t0)
-
-    utt_s = n_corpus / best
+        times.append(time.perf_counter() - t0)
+    rates = sorted(n_corpus / t for t in times)
+    utt_s = rates[len(rates) // 2]  # median
     print(
         json.dumps(
             {
@@ -132,6 +138,9 @@ def main() -> None:
                 "value": round(utt_s, 1),
                 "unit": "utt/s/chip",
                 "vs_baseline": round(utt_s / BASELINE_UTT_S, 3),
+                "min": round(rates[0], 1),
+                "max": round(rates[-1], 1),
+                "reps": len(rates),
             }
         )
     )

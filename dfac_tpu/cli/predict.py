@@ -34,6 +34,18 @@ def parse_args(argv=None):
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard each scoring batch over N devices (0 = single device)")
     p.add_argument(
+        "--int8", action="store_true",
+        help="w8a8 int8 DEVICE COMPUTE for the folded cnn2d chain: blocks "
+        "2-3 run int8 x int8 -> int32 convs with int8 activations "
+        "(per-output-channel weight scales, calibrated static activation "
+        "scales; EER parity test-gated like --bf16). NOTE: measured SLOWER "
+        "than the bf16 chain on TPU v5e via XLA (19.3k vs 24.7k utt/s "
+        "CNN-only — the MXU's int8 rate does not materialize through XLA; "
+        "results/v5e_measurements.md round 5) — provided for accelerators/"
+        "toolchains where int8 conv is fast, not as the v5e default. "
+        "Requires --fast, cnn2d, single device",
+    )
+    p.add_argument(
         "--ingest-int8", action="store_true",
         help="quantize feature rows to int8 (per utterance x feature-dim "
         "scale) on the host and dequantize fused into the first conv — "
@@ -56,11 +68,14 @@ def main(argv=None):
         raise SystemExit("--multihost serving runs the folded fast chain — add --fast")
     if args.ingest_int8 and not args.fast:
         raise SystemExit("--ingest-int8 rides the folded fast chain — add --fast")
-    if args.ingest_int8 and args.multihost:
+    if args.int8 and (
+        not args.fast or args.model != "cnn2d"
+        or args.multihost or args.data_parallel > 1
+    ):
         raise SystemExit(
-            "--ingest-int8 with --multihost is not supported yet: each host "
-            "already uploads only its row slice there, so quantization "
-            "buys half as much — drop one of the two flags"
+            "--int8 (w8a8 device compute) runs the folded cnn2d chain on a "
+            "single device — use with --fast --model cnn2d and without "
+            "--multihost/--data-parallel"
         )
     if args.device:
         import jax
@@ -124,19 +139,37 @@ def main(argv=None):
             folded = mh.replicate_tree(folded, mesh)
             lo, hi = mh.local_row_range(mesh, args.batch_size)
 
-            def prepare(b):
-                local = np.asarray(b.features[lo:hi])
-                if dtype == jnp.bfloat16:
-                    from dfac_tpu.io.fastcast import cast_bf16
+            if args.ingest_int8:
+                # per-host quantization of its OWN row slice: the same
+                # 2x-fewer-link-bytes lever as single-host --ingest-int8,
+                # stacked on top of the 1/n_hosts row split (each host's
+                # upload shrinks from rows/n * 2B to rows/n * ~1.13B)
+                from dfac_tpu.io.fastcast import quant_i8
 
-                    local = cast_bf16(local)
-                return mh.batch_from_local(
-                    local, mesh, global_rows=args.batch_size
-                )
+                def prepare(b):
+                    q, scales = quant_i8(np.ascontiguousarray(b.features[lo:hi]))
+                    return (
+                        mh.batch_from_local(q, mesh, global_rows=args.batch_size),
+                        mh.batch_from_local(scales, mesh, global_rows=args.batch_size),
+                    )
+
+                run = lambda qs: scorer(folded, qs[0], qs[1])  # noqa: E731
+            else:
+
+                def prepare(b):
+                    local = np.asarray(b.features[lo:hi])
+                    if dtype == jnp.bfloat16:
+                        from dfac_tpu.io.fastcast import cast_bf16
+
+                        local = cast_bf16(local)
+                    return mh.batch_from_local(
+                        local, mesh, global_rows=args.batch_size
+                    )
+
+                run = lambda feats: scorer(folded, feats)  # noqa: E731
 
             scores = collect_masked_scores(
-                lambda feats: scorer(folded, feats),
-                ds, args.batch_size,
+                run, ds, args.batch_size,
                 prepare_batch=prepare, gather=mh.gather_rows, stats=stats,
             )
         elif args.ingest_int8:
@@ -163,6 +196,16 @@ def main(argv=None):
         from dfac_tpu.models.fast_infer import predict_scores_fast_cnn1d
 
         scores = predict_scores_fast_cnn1d(
+            variables, ds,
+            batch_size=args.batch_size, swap_tf=args.swap_tf,
+            apply_sigmoid=args.apply_sigmoid,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            stats=stats, ingest_int8=args.ingest_int8,
+        )
+    elif args.fast and args.int8:
+        from dfac_tpu.models.fast_infer_int8 import predict_scores_w8a8
+
+        scores = predict_scores_w8a8(
             variables, ds,
             batch_size=args.batch_size, swap_tf=args.swap_tf,
             apply_sigmoid=args.apply_sigmoid,

@@ -73,6 +73,13 @@ def parse_args(argv=None):
                    help="stream the epoch in chunks of G batches (one dispatch per "
                         "chunk, upload overlapped) — for corpora larger than HBM; "
                         "same batches/PRNG as the default per-batch loop")
+    p.add_argument("--chunk-ingest", choices=["f32", "bf16", "int8"], default="f32",
+                   help="compress the chunked-streaming host->device upload: "
+                        "bf16 halves the link bytes, int8 quarters them "
+                        "(per-row scales, dequant fused into the train step) "
+                        "- the remedy for ingest-bound chunked training; "
+                        "quality impact EER-gated (tests/test_chunked.py). "
+                        "Requires --resident-chunk-batches")
     p.add_argument("--fused-fit", action="store_true",
                    help="run the ENTIRE training loop (epochs+eval+plateau+early-stop) "
                         "as one compiled program (implies --device-resident; no live UI)")
@@ -188,6 +195,7 @@ def main(argv=None):
         data_parallel=args.data_parallel,
         device_resident=args.device_resident or args.fused_fit,
         resident_chunk_batches=args.resident_chunk_batches,
+        chunk_ingest=args.chunk_ingest,
         checkpoint_format=args.checkpoint_format,
         multihost=args.multihost,
         bn_freeze_after_frac=args.bn_freeze_after,

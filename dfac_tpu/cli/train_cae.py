@@ -37,8 +37,25 @@ def parse_args(argv=None):
                    help="stream the epoch in chunks of G batches (one dispatch per "
                         "chunk, upload overlapped) — for corpora larger than HBM; "
                         "composes with --data-parallel")
+    p.add_argument("--chunk-ingest", choices=["f32", "bf16", "int8"], default="f32",
+                   help="compress the chunked-streaming host->device upload: "
+                        "bf16 halves the link bytes, int8 quarters them "
+                        "(per-row scales, dequant fused into the train step) "
+                        "- the remedy for ingest-bound chunked training; "
+                        "quality impact EER-gated (tests/test_chunked.py). "
+                        "Requires --resident-chunk-batches")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
+    p.add_argument("--bn-freeze-after", type=float, default=0.0, metavar="FRAC",
+                   help="fast-numerics recipe: freeze every BatchNorm (encoder "
+                        "+ decoder; running-stats forward, no stat updates) for "
+                        "epochs after FRAC of the schedule (0 disables; quality "
+                        "A/B: results/alt_trainer_fast_ab.md)")
+    p.add_argument("--train-fast", action="store_true",
+                   help="opt-in fast-numerics recipe, MSE/EER-parity-gated in "
+                        "results/alt_trainer_fast_ab.md: the CAE has no "
+                        "dropout, so this is the BN freeze tail (2nd half of "
+                        "the schedule)")
     add_multihost_args(p)
     p.add_argument("--checkpoint-format", choices=("pickle", "orbax"), default="pickle",
                    help="checkpoint layout: single-file pickle or orbax directory")
@@ -47,6 +64,8 @@ def parse_args(argv=None):
     p.add_argument("--no-rich", action="store_true")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
+    if args.train_fast and not args.bn_freeze_after:
+        args.bn_freeze_after = 0.5
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -89,9 +108,11 @@ def main(argv=None):
         # selects the GSPMD model when composed with --multihost
         device_resident=args.device_resident or args.fused_fit,
         resident_chunk_batches=args.resident_chunk_batches,
+        chunk_ingest=args.chunk_ingest,
         data_parallel=args.data_parallel,
         multihost=args.multihost,
         checkpoint_format=args.checkpoint_format,
+        bn_freeze_after_frac=args.bn_freeze_after,
     )
     visualizer = create_cae_visualizer("noop" if args.quiet else ("plain" if args.no_rich else "rich"))
     trainer = CAETrainer(cfg, visualizer=visualizer)

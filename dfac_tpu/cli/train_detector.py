@@ -32,6 +32,19 @@ def parse_args(argv=None):
     p.add_argument("--grad-clip", type=float, default=5.0)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--encoder-dropout", type=float, default=0.2,
+                   help="per-block encoder dropout (reference ConvEncoder default)")
+    p.add_argument("--bn-freeze-after", type=float, default=0.0, metavar="FRAC",
+                   help="fast-numerics recipe: freeze BatchNorm (running-stats "
+                        "forward, no stat updates) for epochs after FRAC of the "
+                        "schedule (0 disables; quality A/B: "
+                        "results/alt_trainer_fast_ab.md). Composes with --ema: "
+                        "the EMA keeps averaging params over frozen stats")
+    p.add_argument("--train-fast", action="store_true",
+                   help="opt-in fast-numerics recipe, EER-parity-gated in "
+                        "results/alt_trainer_fast_ab.md: dropout-free training "
+                        "(head + encoder) plus a BN freeze tail (2nd half of "
+                        "the schedule)")
     p.add_argument("--use-prob", action="store_true", help="save sigmoid probs instead of logits")
     p.add_argument("--specaug", action="store_true")
     p.add_argument("--time-mask-max", type=int, default=30)
@@ -55,6 +68,13 @@ def parse_args(argv=None):
                    help="stream the epoch in chunks of G batches (one dispatch per "
                         "chunk, upload overlapped) — for corpora larger than HBM; "
                         "composes with --data-parallel")
+    p.add_argument("--chunk-ingest", choices=["f32", "bf16", "int8"], default="f32",
+                   help="compress the chunked-streaming host->device upload: "
+                        "bf16 halves the link bytes, int8 quarters them "
+                        "(per-row scales, dequant fused into the train step) "
+                        "- the remedy for ingest-bound chunked training; "
+                        "quality impact EER-gated (tests/test_chunked.py). "
+                        "Requires --resident-chunk-batches")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard_map DP over N devices (axis_name-synced BatchNorm)")
     p.add_argument("--checkpoint-format", choices=("pickle", "orbax"), default="pickle",
@@ -63,6 +83,15 @@ def parse_args(argv=None):
                    help="write a jax.profiler trace of the run to this directory")
     add_multihost_args(p)
     args = p.parse_args(argv)
+    if args.train_fast:
+        # the fastest recipe that PASSes the EER gate
+        # (results/alt_trainer_fast_ab.md): both dropouts off + the BN
+        # freeze tail. Composes with every training mode, fused included
+        # (the fused program switches epoch bodies with lax.cond).
+        args.dropout = 0.0
+        args.encoder_dropout = 0.0
+        if not args.bn_freeze_after:
+            args.bn_freeze_after = 0.5
     if args.fused_fit and args.resident_chunk_batches:
         p.error("--fused-fit compiles the whole run over a device-resident "
                 "corpus; it cannot stream chunks — drop one of "
@@ -100,7 +129,9 @@ def main(argv=None):
     cfg = DetectorConfig(
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
-        hidden=args.hidden, dropout=args.dropout, specaug=args.specaug,
+        hidden=args.hidden, dropout=args.dropout,
+        encoder_dropout=args.encoder_dropout,
+        bn_freeze_after_frac=args.bn_freeze_after, specaug=args.specaug,
         time_mask_max=args.time_mask_max, time_mask_n=args.time_mask_n,
         freq_mask_max=args.freq_mask_max, freq_mask_n=args.freq_mask_n,
         ema=args.ema, ema_decay=args.ema_decay, patience=args.patience,
@@ -109,6 +140,7 @@ def main(argv=None):
         # selects the GSPMD model when composed with --multihost
         device_resident=args.device_resident or args.fused_fit,
         resident_chunk_batches=args.resident_chunk_batches,
+        chunk_ingest=args.chunk_ingest,
         data_parallel=args.data_parallel,
         multihost=args.multihost,
         checkpoint_format=args.checkpoint_format,

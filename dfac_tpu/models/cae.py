@@ -44,8 +44,13 @@ class ConvAutoencoder(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False):
-        """x: (B, T, F) normalized spectrogram."""
+    def __call__(self, x: jax.Array, train: bool = False, bn_frozen: bool = False):
+        """x: (B, T, F) normalized spectrogram.
+
+        ``bn_frozen`` (only meaningful with ``train=True``): every
+        BatchNorm (encoder and decoder) runs on its RUNNING stats and
+        stops updating them — the freeze-tail fast-numerics recipe, same
+        contract as :class:`~dfac_tpu.models.cnn2d.CNN2D`."""
         bc = self.base_channels
         dt = self.compute_dtype
         t_orig = x.shape[1]
@@ -66,7 +71,7 @@ class ConvAutoencoder(nn.Module):
         for i, ch in enumerate((bc, bc * 2, bc * 4, bc * 8)):
             h = Conv(ch, (3, 3), dtype=dt, name=f"enc_conv{i + 1}")(h)
             h = TorchBatchNorm(axis_name=self.axis_name, dtype=dt, name=f"enc_bn{i + 1}")(
-                h, use_running_average=not train
+                h, use_running_average=(not train) or bn_frozen
             )
             h = nn.relu(h)
             t_sizes.append(h.shape[1])
@@ -93,7 +98,7 @@ class ConvAutoencoder(nn.Module):
             h = ConvTranspose2dTorch(ch, output_padding=out_pad, dtype=dt, name=f"dec_convt{i + 1}")(h)
             if bn:
                 h = TorchBatchNorm(axis_name=self.axis_name, dtype=dt, name=f"dec_bn{i + 1}")(
-                    h, use_running_average=not train
+                    h, use_running_average=(not train) or bn_frozen
                 )
                 h = nn.relu(h)
 

@@ -47,8 +47,21 @@ class DeepfakeDetector(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, lengths: jax.Array | None = None, train: bool = False):
-        """x: (B, T, C); lengths: (B,) or None (= all frames valid)."""
+    def __call__(
+        self,
+        x: jax.Array,
+        lengths: jax.Array | None = None,
+        train: bool = False,
+        bn_frozen: bool = False,
+    ):
+        """x: (B, T, C); lengths: (B,) or None (= all frames valid).
+
+        ``bn_frozen`` (only meaningful with ``train=True``): BatchNorm runs
+        on its RUNNING stats and stops updating them — the freeze-tail
+        fast-numerics recipe (torch ``bn.eval()`` during training), same
+        contract as :class:`~dfac_tpu.models.cnn2d.CNN2D`. Dropout stays
+        governed by ``train``.
+        """
         dt = self.compute_dtype
         h = x.astype(dt or x.dtype)
         if lengths is None:
@@ -57,7 +70,7 @@ class DeepfakeDetector(nn.Module):
         for i, k in enumerate((5, 3, 3)):
             h = Conv(self.hidden, (k,), dtype=dt, name=f"enc_conv{i + 1}")(h)
             h = TorchBatchNorm(axis_name=self.axis_name, dtype=dt, name=f"enc_bn{i + 1}")(
-                h, use_running_average=not train
+                h, use_running_average=(not train) or bn_frozen
             )
             h = nn.gelu(h, approximate=False)
             h = FastDropout(self.encoder_dropout, deterministic=not train)(h)

@@ -62,6 +62,14 @@ class CAEConfig:
     # stream the epoch in chunks of N batches (one dispatch per chunk,
     # upload overlapped) — for bonafide corpora larger than HBM; 0 = off
     resident_chunk_batches: int = 0
+    # chunked-upload compression: f32 | bf16 | int8 (see TrainConfig)
+    chunk_ingest: str = "f32"
+    # fast-numerics recipe: freeze every BatchNorm (encoder + decoder;
+    # running-stats forward, no stat updates) for epochs AFTER
+    # round(epochs * frac); 0 disables. The CAE has no dropout, so the
+    # freeze tail IS its whole --train-fast recipe. Quality gate:
+    # results/alt_trainer_fast_ab.md
+    bn_freeze_after_frac: float = 0.0
     # multi-host pod training (one process per host, jax.distributed
     # initialized): host-loop DP with per-process batch feeding
     multihost: bool = False
@@ -84,12 +92,27 @@ class CAEConfig:
                 "resident_chunk_batches streams the corpus in chunks; it is "
                 "the larger-than-HBM alternative to device_resident — set one"
             )
+        from dfac_tpu.train.chunked import INGEST_MODES
+
+        if self.chunk_ingest not in INGEST_MODES:
+            raise ValueError(f"chunk_ingest must be one of {INGEST_MODES}")
+        if self.chunk_ingest != "f32" and not self.resident_chunk_batches:
+            raise ValueError(
+                "chunk_ingest compresses the chunked-streaming upload — it "
+                "needs resident_chunk_batches > 0"
+            )
+        if not (0.0 <= self.bn_freeze_after_frac <= 1.0):
+            raise ValueError("bn_freeze_after_frac must be in [0, 1]")
         # chunked + data_parallel composes (a G-batch scan of the shard_map
         # DP step); the tail-divisibility check needs the bonafide corpus
         # length, so it lives in fit()
 
 
-def make_cae_train_step(model, tx, mean, std):
+def make_cae_train_step(model, tx, mean, std, bn_frozen: bool = False):
+    """``bn_frozen=True`` builds the freeze-tail variant: every BatchNorm
+    (encoder + decoder) runs on its running stats and the stat-update
+    traffic disappears (same recipe contract as
+    :func:`dfac_tpu.train.loop.make_train_step`)."""
     @jax.jit
     def train_step(state: TrainState, feats, weights):
         next_key, drop_key = jax.random.split(state.key)
@@ -100,7 +123,8 @@ def make_cae_train_step(model, tx, mean, std):
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             (recon, _), mutated = model.apply(
-                variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": drop_key}
+                variables, x, train=True, bn_frozen=bn_frozen,
+                mutable=["batch_stats"], rngs={"dropout": drop_key},
             )
             per = reconstruction_mse(recon, x)  # (B,)
             denom = jnp.maximum(jnp.sum(weights), 1.0)
@@ -124,7 +148,8 @@ def make_cae_train_step(model, tx, mean, std):
     return train_step
 
 
-def make_cae_dp_train_step(model, tx, mean, std, mesh, axis_name: str = "data"):
+def make_cae_dp_train_step(model, tx, mean, std, mesh, axis_name: str = "data",
+                           bn_frozen: bool = False):
     """shard_map data-parallel CAE train step over ``mesh``'s 'data' axis.
 
     Mirrors :func:`dfac_tpu.parallel.data_parallel.make_shard_map_train_step`
@@ -150,7 +175,8 @@ def make_cae_dp_train_step(model, tx, mean, std, mesh, axis_name: str = "data"):
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             (recon, _), mutated = model.apply(
-                variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": drop_key}
+                variables, x, train=True, bn_frozen=bn_frozen,
+                mutable=["batch_stats"], rngs={"dropout": drop_key},
             )
             per = reconstruction_mse(recon, x)
             return jnp.sum(per * weights), mutated
@@ -182,12 +208,12 @@ def make_cae_dp_train_step(model, tx, mean, std, mesh, axis_name: str = "data"):
     )
 
 
-def make_cae_indexed_step(model, tx, mean, std):
+def make_cae_indexed_step(model, tx, mean, std, bn_frozen: bool = False):
     """Device-resident per-batch variant: the corpus lives in HBM and each
     step receives only an int32 index vector (mirrors
     :func:`dfac_tpu.train.loop.make_indexed_train_step`). Used when a live
     batch UI needs per-step updates but the corpus should stay resident."""
-    step = make_cae_train_step(model, tx, mean, std)
+    step = make_cae_train_step(model, tx, mean, std, bn_frozen=bn_frozen)
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
     @jax.jit
@@ -198,7 +224,8 @@ def make_cae_indexed_step(model, tx, mean, std):
     return indexed_step
 
 
-def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int, mesh=None):
+def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int,
+                        mesh=None, bn_frozen: bool = False):
     """One jit program per CAE epoch over a device-resident bonafide corpus
     (device-side shuffle, no per-epoch host transfers; mirrors
     :func:`dfac_tpu.train.loop.make_epoch_scan`). With ``mesh``, every
@@ -208,7 +235,7 @@ def make_cae_epoch_scan(model, tx, mean, std, n_examples: int, batch_size: int, 
     from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
 
     constrain = batch_constrainer(mesh)
-    step = make_cae_train_step(model, tx, mean, std)
+    step = make_cae_train_step(model, tx, mean, std, bn_frozen=bn_frozen)
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
     n_full = n_examples // batch_size
     tail = n_examples % batch_size
@@ -290,6 +317,16 @@ def make_fused_cae_fit(
         model, tx, mean, std, n_examples=n_train, batch_size=cfg.batch_size,
         mesh=mesh,
     )
+    # BN freeze tail inside the one-dispatch program (same boundary rule as
+    # fit()'s per-epoch selection and train/fused_fit.py)
+    freeze_frac = cfg.bn_freeze_after_frac
+    frozen_scan = None
+    if freeze_frac:
+        frozen_scan = make_cae_epoch_scan(
+            model, tx, mean, std, n_examples=n_train,
+            batch_size=cfg.batch_size, mesh=mesh, bn_frozen=True,
+        )
+    freeze_epoch = round(cfg.epochs * freeze_frac)
     bs = cfg.eval_batch_size or cfg.batch_size
     base_seed = cfg.seed * 100003
     # plateau constants come from the host scheduler so the fused and
@@ -322,7 +359,15 @@ def make_fused_cae_fit(
             (state, best_vars, best_opt, best_sched, best_val, best_epoch,
              no_improve, sched_best, sched_bad, lr, stopped) = carry
             state = state.replace(opt_state=set_lr(state.opt_state, lr))
-            state, loss_sum, count = epoch_scan(state, tf, base_seed + epoch)
+            if frozen_scan is None:
+                state, loss_sum, count = epoch_scan(state, tf, base_seed + epoch)
+            else:
+                state, loss_sum, count = jax.lax.cond(
+                    epoch > freeze_epoch,
+                    lambda st: frozen_scan(st, tf, base_seed + epoch),
+                    lambda st: epoch_scan(st, tf, base_seed + epoch),
+                    state,
+                )
             train_loss = loss_sum / jnp.maximum(count, 1.0)
             val = validate(state)
 
@@ -594,15 +639,41 @@ class CAETrainer:
                     f"corpus) to divide over {dp} shards — pick a batch_size "
                     "with tail % data_parallel == 0, or truncate the corpus"
                 )
-            # GSPMD resident mode: the epoch scan handles every epoch; the
-            # shard_map step would be WRONG here (the model carries no
-            # axis_name, so its BN stats would be per-shard only)
-            train_step = (
-                None if self._gspmd_resident
-                else make_cae_dp_train_step(self.model, self.tx, mean, std, self.mesh)
+            pass
+        # step construction, parameterized on the BN-freeze-tail recipe:
+        # frozen variants build lazily the first epoch past the boundary
+        freeze_epoch = (
+            round(cfg.epochs * cfg.bn_freeze_after_frac)
+            if cfg.bn_freeze_after_frac else None
+        )
+
+        def bn_frozen_at(epoch: int) -> bool:
+            return freeze_epoch is not None and epoch > freeze_epoch
+
+        def build_step(frozen: bool):
+            if dp > 1:
+                # GSPMD resident mode: the epoch scan handles every epoch;
+                # the shard_map step would be WRONG here (the model carries
+                # no axis_name, so its BN stats would be per-shard only)
+                return (
+                    None if self._gspmd_resident
+                    else make_cae_dp_train_step(
+                        self.model, self.tx, mean, std, self.mesh,
+                        bn_frozen=frozen,
+                    )
+                )
+            return make_cae_train_step(
+                self.model, self.tx, mean, std, bn_frozen=frozen
             )
-        else:
-            train_step = make_cae_train_step(self.model, self.tx, mean, std)
+
+        _step_cache: dict = {}
+
+        def step_for(frozen: bool):
+            if frozen not in _step_cache:
+                _step_cache[frozen] = build_step(frozen)
+            return _step_cache[frozen]
+
+        train_step = step_for(False)
 
         init_key, _ = jax.random.split(jax.random.key(cfg.seed))
         state_key = train_key(cfg.seed)  # TPU-fast rbg chain for dropout
@@ -660,17 +731,39 @@ class CAETrainer:
                 "--device-resident to silence this.", cfg.data_parallel,
             )
         resident_validate = None
+        _scan_cache: dict = {}
+
+        def epoch_scan_for(frozen: bool):
+            if frozen not in _scan_cache:
+                _scan_cache[frozen] = make_cae_epoch_scan(
+                    self.model, self.tx, mean, std,
+                    n_examples=len(bona_train), batch_size=cfg.batch_size,
+                    mesh=self.mesh if self._gspmd_resident else None,
+                    bn_frozen=frozen,
+                )
+            return _scan_cache[frozen]
+
+        _indexed_cache: dict = {}
+
+        def indexed_step_for(frozen: bool):
+            if frozen not in _indexed_cache:
+                _indexed_cache[frozen] = make_cae_indexed_step(
+                    self.model, self.tx, mean, std, bn_frozen=frozen
+                )
+            return _indexed_cache[frozen]
+
         if resident:
             resident_validate = self._make_resident_validator(bona_dev, mean, std)
             feats_resident = self._resident_put()(bona_train.features)
-            epoch_scan = make_cae_epoch_scan(
-                self.model, self.tx, mean, std,
-                n_examples=len(bona_train), batch_size=cfg.batch_size,
-                mesh=self.mesh if self._gspmd_resident else None,
-            )
-            self._indexed_step = make_cae_indexed_step(self.model, self.tx, mean, std)
+            epoch_scan = epoch_scan_for(False)
+            self._indexed_step = indexed_step_for(False)
 
         for epoch in range(1, cfg.epochs + 1):
+            frozen = bn_frozen_at(epoch)
+            train_step = step_for(frozen)
+            if resident:
+                epoch_scan = epoch_scan_for(frozen)
+                self._indexed_step = indexed_step_for(frozen)
             t0 = time.perf_counter()
             total = jnp.zeros(())
             count = jnp.zeros(())
@@ -736,13 +829,16 @@ class CAETrainer:
                         # global state before the pod-wide program (also
                         # heals host-local LR-update leaves; idempotent)
                         self.state = mh.replicate_tree(self.state, self.mesh)
-                    if chunk_scan is None:
+                    if not isinstance(chunk_scan, dict):
+                        chunk_scan = {}
+                    if frozen not in chunk_scan:
                         # fit-LOCAL (like train_step): the scan closes over
                         # THIS fit's normalizer mean/std — caching it on
                         # self would silently train a second fit() with the
                         # first corpus's statistics
-                        chunk_scan = chunk_scan_over(
-                            train_step, append_ones=True, track_count=True
+                        chunk_scan[frozen] = chunk_scan_over(
+                            train_step, append_ones=True, track_count=True,
+                            ingest=cfg.chunk_ingest,
                         )
                     order = np.arange(n_ex)
                     np.random.default_rng(cfg.seed * 100003 + epoch).shuffle(order)
@@ -750,17 +846,16 @@ class CAETrainer:
                         bona_train.features, (), order, cfg.batch_size,
                         cfg.resident_chunk_batches,
                         mesh=self.mesh if dp > 1 else None,
-                        multihost=cfg.multihost,
+                        multihost=cfg.multihost, ingest=cfg.chunk_ingest,
                     )
                     batches_done = 0  # the UI's unit is BATCHES, not chunks
                     for ci, full_b, tail_b in chunks:
                         nr = 0
                         if full_b is not None:
-                            (feats_c,) = full_b
-                            self.state, loss_sum, n = chunk_scan(self.state, feats_c)
+                            self.state, loss_sum, n = chunk_scan[frozen](self.state, *full_b)
                             total, count = total + loss_sum, count + n
-                            nr = feats_c.shape[1]
-                            batches_done += feats_c.shape[0]
+                            nr = full_b[0].shape[1]
+                            batches_done += full_b[0].shape[0]
                         if tail_b is not None:
                             (feats_t,) = tail_b
                             self.state, loss_sum, n = train_step(

@@ -44,6 +44,9 @@ def chunk_shardings(mesh):
     )
 
 
+INGEST_MODES = ("f32", "bf16", "int8")
+
+
 def stream_chunks(
     feats_src: np.ndarray,
     row_arrays: Sequence[np.ndarray],
@@ -53,6 +56,7 @@ def stream_chunks(
     mesh=None,
     multihost: bool = False,
     stats=None,
+    ingest: str = "f32",
 ):
     """Yield ``(ci, full, tail)`` device chunks over an epoch's ``order``.
 
@@ -77,8 +81,25 @@ def stream_chunks(
     ``order`` (seeded identically). The chunk scan then runs one global
     GSPMD program per chunk: large-program dispatch amortization and pod
     data parallelism compose.
+
+    ``ingest`` compresses the host->device link for full chunks — the
+    measured bottleneck of chunked training on slow-ingest hosts
+    (results/v5e_measurements.md round 4: 104-187 utt/s disk-bound vs
+    5,366 resident, rates scaling ~1/bytes). ``"bf16"`` halves the bytes
+    (features bf16-rounded, step numerics otherwise exact f32);
+    ``"int8"`` quarters them (per-(row, feature-dim) symmetric scales via
+    :func:`dfac_tpu.io.fastcast.quant_i8`; the chunk scan dequantizes
+    fused into the step — build it with
+    ``chunk_scan_over(..., ingest="int8")``). The epoch's one partial
+    TAIL batch always stays f32 (its bytes are negligible and the
+    trainers' tail step keeps its plain signature). Training-quality
+    impact is EER-gated in ``tests/test_chunked.py`` like the serving
+    chain's quantized ingest.
     """
     from dfac_tpu.io.prefetch import prefetched
+
+    if ingest not in INGEST_MODES:
+        raise ValueError(f"ingest must be one of {INGEST_MODES}, got {ingest!r}")
 
     chunk_sh, tail_sh = chunk_shardings(mesh)
     batch_slice = None
@@ -98,7 +119,7 @@ def stream_chunks(
     host = prefetched(
         host_chunks(
             feats_src, row_arrays, order, batch_size, chunk_batches,
-            batch_slice=batch_slice,
+            batch_slice=batch_slice, ingest=ingest,
         ),
         depth=1,
         stats=stats,
@@ -153,13 +174,16 @@ def host_chunks(
     batch_size: int,
     chunk_batches: int,
     batch_slice=None,
+    ingest: str = "f32",
 ):
-    """The host stage of :func:`stream_chunks`: gather + reshape only.
+    """The host stage of :func:`stream_chunks`: gather + reshape (+ the
+    optional ``ingest`` compression — bf16 cast or int8 quantization of
+    full chunks, native multithreaded kernels, tail untouched).
 
     ``batch_slice(b) -> (lo, hi)`` (optional) restricts every gathered
     batch of global size ``b`` to its ``[lo, hi)`` row slice — the
     multi-host caller's per-process shard of each batch."""
-    from dfac_tpu.io.fastcast import gather_f32
+    from dfac_tpu.io.fastcast import cast_bf16, gather_f32, quant_i8
 
     B, G, n = batch_size, chunk_batches, len(order)
     rows_per = G * B
@@ -175,8 +199,18 @@ def host_chunks(
                 w = hi - lo
                 fr = fr.reshape(g, B)[:, lo:hi].reshape(-1)
             f = gather_f32(feats_src, fr)
+            if ingest == "int8":
+                q, scales = quant_i8(f)
+                feat_arrays = (
+                    q.reshape((g, w) + q.shape[1:]),
+                    scales.reshape((g, w) + scales.shape[1:]),
+                )
+            elif ingest == "bf16":
+                feat_arrays = (cast_bf16(f).reshape((g, w) + f.shape[1:]),)
+            else:
+                feat_arrays = (f.reshape((g, w) + f.shape[1:]),)
             full = (
-                f.reshape((g, w) + f.shape[1:]),
+                *feat_arrays,
                 *(r[fr].reshape(g, w) for r in row_arrays),
             )
         trows = rows[g * B :]
@@ -188,7 +222,8 @@ def host_chunks(
         yield ci, full, tail
 
 
-def chunk_scan_over(step: Any, append_ones: bool, track_count: bool):
+def chunk_scan_over(step: Any, append_ones: bool, track_count: bool,
+                    ingest: str = "f32"):
     """``lax.scan`` a jit'd train step over a chunk of pre-batched rows.
 
     ``step`` is the per-batch train step (its traced body is reused via
@@ -197,7 +232,15 @@ def chunk_scan_over(step: Any, append_ones: bool, track_count: bool):
     (steps whose signature ends in weights); ``track_count`` selects the
     ``(state, loss, count)`` step contract over ``(state, loss)``.
     Floats agree with per-batch dispatch up to XLA reassociation (the scan
-    body and the standalone step compile as different programs)."""
+    body and the standalone step compile as different programs).
+
+    ``ingest`` must match the :func:`stream_chunks` that feeds it:
+    ``"bf16"`` upcasts the bf16 feature slice to f32 before the step (one
+    fused elementwise op; the step itself runs exact f32 on bf16-rounded
+    values); ``"int8"`` expects ``(q, scales, *rows)`` chunks and
+    dequantizes fused into the step's first read."""
+    if ingest not in INGEST_MODES:
+        raise ValueError(f"ingest must be one of {INGEST_MODES}, got {ingest!r}")
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
     @jax.jit
@@ -205,6 +248,12 @@ def chunk_scan_over(step: Any, append_ones: bool, track_count: bool):
         ones = jnp.ones((xs[0].shape[1],), jnp.float32)
 
         def call(st, sl):
+            if ingest == "int8":
+                q, scales, *rows = sl
+                feats = q.astype(jnp.float32) * scales[..., None]
+                sl = (feats, *rows)
+            elif ingest == "bf16":
+                sl = (sl[0].astype(jnp.float32), *sl[1:])
             return base(st, *sl, ones) if append_ones else base(st, *sl)
 
         if track_count:

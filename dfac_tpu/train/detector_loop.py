@@ -59,6 +59,18 @@ class DetectorConfig:
     # stream the epoch in chunks of N batches (one dispatch per chunk,
     # upload overlapped) — for corpora larger than HBM; 0 = off
     resident_chunk_batches: int = 0
+    # chunked-upload compression: f32 | bf16 | int8 (see TrainConfig)
+    chunk_ingest: str = "f32"
+    # encoder-block dropout (reference src/dlqueen_model.py ConvEncoder
+    # default); --train-fast zeroes it together with the head dropout
+    encoder_dropout: float = 0.2
+    # fast-numerics recipe: freeze BatchNorm (running-stats forward, no
+    # stat updates) for epochs AFTER round(epochs * frac); 0 disables.
+    # Composes with EMA: the EMA keeps averaging params while the frozen
+    # running stats stay exactly where the boundary epoch left them — the
+    # eval pairing (EMA params + final stats) is therefore self-consistent
+    # for the whole tail. Quality gate: results/alt_trainer_fast_ab.md
+    bn_freeze_after_frac: float = 0.0
     # multi-host pod training (one process per host, jax.distributed
     # initialized): host-loop DP with per-process batch feeding
     multihost: bool = False
@@ -81,6 +93,17 @@ class DetectorConfig:
                 "resident_chunk_batches streams the corpus in chunks; it is "
                 "the larger-than-HBM alternative to device_resident — set one"
             )
+        from dfac_tpu.train.chunked import INGEST_MODES
+
+        if self.chunk_ingest not in INGEST_MODES:
+            raise ValueError(f"chunk_ingest must be one of {INGEST_MODES}")
+        if self.chunk_ingest != "f32" and not self.resident_chunk_batches:
+            raise ValueError(
+                "chunk_ingest compresses the chunked-streaming upload — it "
+                "needs resident_chunk_batches > 0"
+            )
+        if not (0.0 <= self.bn_freeze_after_frac <= 1.0):
+            raise ValueError("bn_freeze_after_frac must be in [0, 1]")
         # chunked + data_parallel composes (a G-batch scan of the shard_map
         # DP step); the tail-divisibility check needs the corpus length, so
         # it lives in fit()
@@ -114,7 +137,13 @@ def pos_weight_bce(logits, labels, pos_weight: float):
     return jnp.mean(pos_weight_bce_per(logits, labels, pos_weight))
 
 
-def make_detector_train_step(model, tx, cfg: DetectorConfig, pos_weight: float):
+def make_detector_train_step(
+    model, tx, cfg: DetectorConfig, pos_weight: float, bn_frozen: bool = False
+):
+    """``bn_frozen=True`` builds the freeze-tail variant: BatchNorm runs on
+    its running stats and the stat-update traffic disappears (same recipe
+    contract as :func:`dfac_tpu.train.loop.make_train_step`)."""
+
     @jax.jit
     def train_step(state: DetectorState, feats, lengths, labels):
         next_key, aug_key, drop_key = jax.random.split(state.key, 3)
@@ -128,7 +157,7 @@ def make_detector_train_step(model, tx, cfg: DetectorConfig, pos_weight: float):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits, mutated = model.apply(
-                variables, x, lengths=lengths, train=True,
+                variables, x, lengths=lengths, train=True, bn_frozen=bn_frozen,
                 mutable=["batch_stats"], rngs={"dropout": drop_key},
             )
             return pos_weight_bce(logits, labels, pos_weight), mutated
@@ -159,7 +188,8 @@ def make_detector_train_step(model, tx, cfg: DetectorConfig, pos_weight: float):
 
 
 def make_detector_dp_train_step(
-    model, tx, cfg: DetectorConfig, pos_weight: float, mesh, axis_name: str = "data"
+    model, tx, cfg: DetectorConfig, pos_weight: float, mesh,
+    axis_name: str = "data", bn_frozen: bool = False,
 ):
     """shard_map data-parallel detector train step over ``mesh``'s 'data'
     axis (reference trainer: ``src/dlqueen_model.py:332-395``, single-GPU
@@ -192,7 +222,7 @@ def make_detector_dp_train_step(
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits, mutated = model.apply(
-                variables, x, lengths=lengths, train=True,
+                variables, x, lengths=lengths, train=True, bn_frozen=bn_frozen,
                 mutable=["batch_stats"], rngs={"dropout": drop_key},
             )
             per = pos_weight_bce_per(logits.reshape(-1), labels, pos_weight)
@@ -258,7 +288,7 @@ def make_detector_dp_chunk_scan(model, tx, cfg: DetectorConfig, pos_weight: floa
 
 def make_detector_epoch_scan(
     model, tx, cfg: DetectorConfig, pos_weight: float, n_examples: int,
-    batch_size: int, mesh=None,
+    batch_size: int, mesh=None, bn_frozen: bool = False,
 ):
     """One jit program per detector epoch over a device-resident corpus.
 
@@ -275,7 +305,7 @@ def make_detector_epoch_scan(
     from dfac_tpu.parallel.mesh import batch_constrainer, replicated_jit
 
     constrain = batch_constrainer(mesh)
-    step = make_detector_train_step(model, tx, cfg, pos_weight)
+    step = make_detector_train_step(model, tx, cfg, pos_weight, bn_frozen=bn_frozen)
     base = step.__wrapped__ if hasattr(step, "__wrapped__") else step
     n_full = n_examples // batch_size
     tail = n_examples % batch_size
@@ -334,6 +364,17 @@ def make_fused_detector_fit(
     epoch_scan = make_detector_epoch_scan(
         model, tx, cfg, pos_weight, n_train, cfg.batch_size, mesh=mesh
     )
+    # BN freeze tail inside the one-dispatch program: epochs after
+    # round(epochs * frac) run a frozen-BN epoch body selected by lax.cond
+    # (same boundary rule as fit()'s _bn_frozen_at and train/fused_fit.py)
+    freeze_frac = cfg.bn_freeze_after_frac
+    frozen_scan = None
+    if freeze_frac:
+        frozen_scan = make_detector_epoch_scan(
+            model, tx, cfg, pos_weight, n_train, cfg.batch_size, mesh=mesh,
+            bn_frozen=True,
+        )
+    freeze_epoch = round(cfg.epochs * freeze_frac)
     n_batches = -(-n_train // cfg.batch_size)
 
     def fused(state: DetectorState, tf, tlen, tl, orders, df, dlen, dl, didx):
@@ -372,7 +413,15 @@ def make_fused_detector_fit(
         def run_epoch(carry, args):
             epoch, order = args
             (state, best_vars, best_num, best_epoch, bad, stopped) = carry
-            state, loss_sum = epoch_scan(state, tf, tlen, tl, order)
+            if frozen_scan is None:
+                state, loss_sum = epoch_scan(state, tf, tlen, tl, order)
+            else:
+                state, loss_sum = jax.lax.cond(
+                    epoch > freeze_epoch,
+                    lambda st: frozen_scan(st, tf, tlen, tl, order),
+                    lambda st: epoch_scan(st, tf, tlen, tl, order),
+                    state,
+                )
             train_loss = loss_sum / n_batches
 
             (num_hi, num_lo), denom2, thr = dev_eer_num(state)
@@ -407,7 +456,10 @@ def make_fused_detector_fit(
             return carry, (nan, nan, jnp.asarray(False), jnp.asarray(True))
 
         def body(carry, args):
-            if cfg.patience >= cfg.epochs:
+            # keyed to the actual scan length (orders rows), not cfg.epochs:
+            # a caller passing more order rows than cfg.epochs must keep the
+            # early-stop cond alive
+            if cfg.patience >= orders.shape[0]:
                 # `bad` grows by at most 1 per epoch from 0, so it can never
                 # reach patience within the run: stopping is impossible and
                 # the lax.cond would be dead weight (see train/fused_fit.py)
@@ -448,7 +500,8 @@ class DetectorTrainer:
             # BatchNorm stats must sync over the mesh in the shard_map path
             kw["axis_name"] = "data"
         self.model = build_model(
-            "detector", in_channels=in_channels, hidden=cfg.hidden, dropout=cfg.dropout, **kw
+            "detector", in_channels=in_channels, hidden=cfg.hidden,
+            dropout=cfg.dropout, encoder_dropout=cfg.encoder_dropout, **kw
         )
         self.mesh = None
         if cfg.data_parallel > 1:
@@ -532,23 +585,51 @@ class DetectorTrainer:
                     f"to divide over {dp} shards — pick a batch_size with "
                     "tail % data_parallel == 0"
                 )
-            if self._gspmd_resident:
-                # GSPMD resident mode: the epoch scan handles every epoch;
-                # the shard_map step would be WRONG here (no axis_name ->
-                # per-shard-only BN stats)
-                dp_step = train_step = None
-            else:
-                dp_step = make_detector_dp_train_step(
-                    self.model, self.tx, cfg, pos_weight, self.mesh
+        # step construction, parameterized on the BN-freeze-tail recipe:
+        # the frozen variants build lazily the first epoch past the
+        # boundary (bn_freeze_after_frac; mirrors loop.Trainer)
+        freeze_epoch = (
+            round(cfg.epochs * cfg.bn_freeze_after_frac)
+            if cfg.bn_freeze_after_frac else None
+        )
+
+        def bn_frozen_at(epoch: int) -> bool:
+            return freeze_epoch is not None and epoch > freeze_epoch
+
+        def build_steps(frozen: bool):
+            if dp > 1:
+                if self._gspmd_resident:
+                    # GSPMD resident mode: the epoch scan handles every
+                    # epoch; the shard_map step would be WRONG here (no
+                    # axis_name -> per-shard-only BN stats)
+                    return None, None
+                dstep = make_detector_dp_train_step(
+                    self.model, self.tx, cfg, pos_weight, self.mesh,
+                    bn_frozen=frozen,
                 )
 
-                def train_step(state, feats, lens, labels):
-                    return dp_step(
+                def tstep(state, feats, lens, labels, dstep=dstep):
+                    return dstep(
                         state, feats, lens, labels,
                         jnp.ones((feats.shape[0],), jnp.float32),
                     )
-        else:
-            train_step = make_detector_train_step(self.model, self.tx, cfg, pos_weight)
+
+                return tstep, dstep
+            return (
+                make_detector_train_step(
+                    self.model, self.tx, cfg, pos_weight, bn_frozen=frozen
+                ),
+                None,
+            )
+
+        _step_cache: dict = {}
+
+        def steps_for(frozen: bool):
+            if frozen not in _step_cache:
+                _step_cache[frozen] = build_steps(frozen)
+            return _step_cache[frozen]
+
+        train_step, dp_step = steps_for(False)
 
         n_batches_epoch = -(-n // cfg.batch_size)
         resident = cfg.device_resident and (dp <= 1 or self._gspmd_resident)
@@ -562,11 +643,18 @@ class DetectorTrainer:
                 "(a host/relay round trip per step). Drop --data-parallel "
                 "or --device-resident to silence this.", dp,
             )
+        _scan_cache: dict = {}
+
+        def epoch_scan_for(frozen: bool):
+            if frozen not in _scan_cache:
+                _scan_cache[frozen] = make_detector_epoch_scan(
+                    self.model, self.tx, cfg, pos_weight, n, cfg.batch_size,
+                    mesh=self.mesh if self._gspmd_resident else None,
+                    bn_frozen=frozen,
+                )
+            return _scan_cache[frozen]
+
         if resident:
-            epoch_scan = make_detector_epoch_scan(
-                self.model, self.tx, cfg, pos_weight, n, cfg.batch_size,
-                mesh=self.mesh if self._gspmd_resident else None,
-            )
             put = self._resident_put()
             feats_d = put(train_ds.features)  # one upload, reused every epoch
             lengths_d = put(lengths)
@@ -579,7 +667,10 @@ class DetectorTrainer:
             # weighted sampling WITH replacement, num_samples = N (reference)
             # — every process draws the SAME order (identically seeded rng)
             order = rng.choice(n, size=n, replace=True, p=sample_p)
+            frozen = bn_frozen_at(epoch)
+            train_step, dp_step = steps_for(frozen)
             if resident:
+                epoch_scan = epoch_scan_for(frozen)
                 if cfg.multihost:
                     from dfac_tpu.parallel import multihost as mh
 
@@ -613,23 +704,26 @@ class DetectorTrainer:
 
                     # global state before the pod-wide program (idempotent)
                     self.state = mh.replicate_tree(self.state, self.mesh)
-                if chunk_scan is None:
+                if not isinstance(chunk_scan, dict):
+                    chunk_scan = {}
+                if frozen not in chunk_scan:
                     # scan over the SAME fit-local step the host loop
                     # dispatches (dp>1: the ones-appending DP wrapper) —
-                    # one construction, no divergence risk
-                    chunk_scan = chunk_scan_over(
-                        train_step, append_ones=False, track_count=False
+                    # one construction per recipe phase, no divergence risk
+                    chunk_scan[frozen] = chunk_scan_over(
+                        train_step, append_ones=False, track_count=False,
+                        ingest=cfg.chunk_ingest,
                     )
                 chunks = stream_chunks(
                     train_ds.features, (lengths, labels.astype(np.float32)),
                     order, cfg.batch_size, cfg.resident_chunk_batches,
                     mesh=self.mesh if dp > 1 else None,
-                    multihost=cfg.multihost,
+                    multihost=cfg.multihost, ingest=cfg.chunk_ingest,
                 )
                 total_loss, n_batches = jnp.zeros(()), 0
                 for ci, full_b, tail_b in chunks:
                     if full_b is not None:
-                        self.state, loss_sum = chunk_scan(self.state, *full_b)
+                        self.state, loss_sum = chunk_scan[frozen](self.state, *full_b)
                         total_loss = total_loss + loss_sum  # lazy device accumulation
                         n_batches += full_b[0].shape[0]
                     if tail_b is not None:

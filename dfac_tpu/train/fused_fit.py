@@ -209,8 +209,12 @@ def make_fused_fit(
                 # early stop disabled -> `stopped` can never become True, so
                 # the cond would be dead weight: XLA keeps BOTH branch
                 # programs and the conditional boundary blocks pipelining
-                # across the epoch body (measured 5,226 -> 3,357 utt/s on
-                # v5e at n=16k, scripts/fused_fit_probe.py)
+                # across the epoch body. Removing it recovered part of the
+                # fused-fit gap (3,357 -> 3,836 utt/s on v5e at n=16k,
+                # scripts/fused_fit_probe.py; per-epoch ran 5,262) — the
+                # residual is the cond that remains whenever early_stop is
+                # enabled, plus fused-program scheduling overhead
+                # (results/tpu_jobs/fusedfit.log)
                 return run_epoch(carry, epoch)
             stopped = carry[-1]
             return jax.lax.cond(stopped, skip_epoch, run_epoch, carry, epoch)

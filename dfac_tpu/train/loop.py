@@ -85,6 +85,13 @@ class TrainConfig:
     # stream the epoch in chunks of N batches (one dispatch per chunk,
     # upload overlapped) — for corpora larger than HBM; 0 = off
     resident_chunk_batches: int = 0
+    # host->device compression for chunked streaming: f32 (exact) | bf16
+    # (half the link bytes, features bf16-rounded) | int8 (quarter the
+    # bytes, per-(row, feature-dim) scales, dequant fused into the step).
+    # The measured remedy for ingest-bound chunked training
+    # (results/v5e_measurements.md round 4); EER impact gated in
+    # tests/test_chunked.py
+    chunk_ingest: str = "f32"
     checkpoint_format: str = "pickle"  # pickle (single file) | orbax (directory)
     # run the DP path over a multi-host mesh (one process per pod host,
     # jax.distributed initialized): each process feeds its row slice of
@@ -118,6 +125,16 @@ class TrainConfig:
             raise ValueError(
                 "resident_chunk_batches streams the corpus in chunks; it is "
                 "the larger-than-HBM alternative to device_resident — set one"
+            )
+        from dfac_tpu.train.chunked import INGEST_MODES
+
+        if self.chunk_ingest not in INGEST_MODES:
+            raise ValueError(f"chunk_ingest must be one of {INGEST_MODES}")
+        if self.chunk_ingest != "f32" and not self.resident_chunk_batches:
+            raise ValueError(
+                "chunk_ingest compresses the chunked-streaming upload — it "
+                "needs resident_chunk_batches > 0 (the resident and host-loop "
+                "paths have their own ingest handling)"
             )
         # chunked + DP composes (a G-batch scan of the shard_map step);
         # batch_size % data_parallel == 0 is enforced above and the
@@ -821,14 +838,16 @@ class Trainer:
         step = self._frozen_train_step() if frozen else self._train_step
         if frozen and self._chunk_scan_frozen is None:
             self._chunk_scan_frozen = chunk_scan_over(
-                step, append_ones=True, track_count=True
+                step, append_ones=True, track_count=True,
+                ingest=cfg.chunk_ingest,
             )
         if not frozen and self._chunk_scan is None:
             # scan over the SAME step Trainer dispatches per batch —
             # self._train_step is already the shard_map DP step (dp>1) or
             # make_train_step; one construction, no divergence risk
             self._chunk_scan = chunk_scan_over(
-                self._train_step, append_ones=True, track_count=True
+                self._train_step, append_ones=True, track_count=True,
+                ingest=cfg.chunk_ingest,
             )
         chunk_scan = self._chunk_scan_frozen if frozen else self._chunk_scan
         from dfac_tpu.io.prefetch import PrefetchStats
@@ -837,7 +856,7 @@ class Trainer:
         chunks = stream_chunks(
             ds.features, (labels_all,), order, cfg.batch_size,
             cfg.resident_chunk_batches, mesh=self.mesh if dp > 1 else None,
-            multihost=cfg.multihost, stats=stats,
+            multihost=cfg.multihost, stats=stats, ingest=cfg.chunk_ingest,
         )
         batches_done = 0  # the UI's progress unit is BATCHES, not chunks
         for ci, full, tail in chunks:
@@ -861,7 +880,8 @@ class Trainer:
                 "chunked training is ingest-bound: the device waited %.1fs "
                 "on host chunk gathers (vs %.1fs gather-behind-scan). Raise "
                 "DFAC_TPU_INGEST_THREADS, store the corpus as memory-mapped "
-                ".npy (dfac-data-tools convert-to-npy), or grow "
+                ".npy (dfac-data-tools convert-to-npy), compress the upload "
+                "with --chunk-ingest bf16|int8, or grow "
                 "--resident-chunk-batches.",
                 stats.host_wait_s, stats.device_wait_s,
             )

@@ -308,6 +308,42 @@ np.testing.assert_allclose(
     err_msg="multihost predict scores must match the single-device fast chain",
 )
 
+# --- --ingest-int8 x --multihost: each process quantizes only ITS row
+# slice; sharded q8 scorer == single-device q8 chain exactly (per-row
+# scales are row-local, so the host split cannot change the math)
+from dfac_tpu.io.fastcast import quant_i8  # noqa: E402
+from dfac_tpu.models.fast_infer import cnn2d_fast_scores_q8  # noqa: E402
+
+scorer_q8 = make_sharded_cnn2d_feature_scorer(
+    mesh, swap_tf=True, apply_sigmoid=True, compute_dtype=jnp.float32,
+    ingest_int8=True,
+)
+
+
+def _prepare_q8(b):
+    q, scales = quant_i8(np.ascontiguousarray(b.features[plo:phi]))
+    return (
+        mh.batch_from_local(q, mesh, global_rows=B),
+        mh.batch_from_local(scales, mesh, global_rows=B),
+    )
+
+
+scores_q8_mh = collect_masked_scores(
+    lambda qs: scorer_q8(folded_pg, qs[0], qs[1]), train_ds, B,
+    prepare_batch=_prepare_q8, gather=mh.gather_rows,
+)
+q_all, s_all = quant_i8(np.ascontiguousarray(tr_feats))
+q8_ref = np.asarray(
+    cnn2d_fast_scores_q8(
+        folded_p, jnp.asarray(q_all), jnp.asarray(s_all),
+        apply_sigmoid=True, compute_dtype=jnp.float32,
+    )
+)
+np.testing.assert_allclose(
+    scores_q8_mh, q8_ref, atol=1e-6,
+    err_msg="multihost q8 predict scores must match the single-device q8 chain",
+)
+
 mh.sync("done")
 jax.distributed.shutdown()
 print(f"ALL OK {pid}", flush=True)

@@ -297,3 +297,109 @@ def test_cae_chunked_second_fit_uses_new_normalizer():
     np.testing.assert_allclose(reused.normalizer.std, fresh.normalizer.std)
     assert np.isfinite(r_reused["history"][0].train_loss)
     assert np.isfinite(r_fresh["history"][0].train_loss)
+
+
+def test_chunked_ingest_bf16_tracks_f32():
+    """--chunk-ingest bf16: same batches/PRNG, features bf16-rounded before
+    the exact-f32 step — loss trajectory tracks f32 chunked closely and the
+    converged dev EER meets the 0.1%-absolute contract."""
+    train_ds, dev_ds = _ds(0), _ds(1, 16)
+    base_cfg = TrainConfig(
+        model="cnn1d", batch_size=8, epochs=2, in_features=16,
+        dropout=0.0, lr=1e-4, resident_chunk_batches=2,
+    )
+    t_f32 = Trainer(base_cfg)
+    r_f32 = t_f32.fit(train_ds, dev_ds)
+    t_bf16 = Trainer(dataclasses.replace(base_cfg, chunk_ingest="bf16"))
+    r_bf16 = t_bf16.fit(train_ds, dev_ds)
+    for mf, mb in zip(r_f32["history"], r_bf16["history"]):
+        assert mf.train_loss == pytest.approx(mb.train_loss, rel=5e-3)
+    assert abs(r_bf16["best_eer"] - r_f32["best_eer"]) <= 0.001
+
+
+def test_chunked_ingest_int8_preserves_eer():
+    """--chunk-ingest int8: quantized upload + fused dequant — the trained
+    model's dev EER stays within the 0.1%-absolute contract of f32 chunked
+    training on a separable corpus (the gate certifying the flag)."""
+    train_ds, dev_ds = _ds(4, n=48), _ds(5, 32)
+    base_cfg = TrainConfig(
+        model="cnn2d", batch_size=8, epochs=2, in_features=16,
+        dropout=0.0, lr=2e-3, resident_chunk_batches=2,
+    )
+    r_f32 = Trainer(base_cfg).fit(train_ds, dev_ds)
+    r_q8 = Trainer(
+        dataclasses.replace(base_cfg, chunk_ingest="int8")
+    ).fit(train_ds, dev_ds)
+    assert np.isfinite(r_q8["history"][0].train_loss)
+    assert abs(r_q8["best_eer"] - r_f32["best_eer"]) <= 0.001
+
+
+def test_chunked_ingest_int8_step_math():
+    """The int8 chunk scan's dequantized step == the f32 step on the
+    dequantized features exactly (the wrapper adds only q * scales)."""
+    from dfac_tpu.io.fastcast import quant_i8
+    from dfac_tpu.train.chunked import chunk_scan_over
+
+    ds = _ds(6, n=8)
+    cfg = TrainConfig(model="cnn1d", batch_size=8, epochs=1, in_features=16, dropout=0.0)
+    tr = Trainer(cfg)
+    tr.state = tr.init_state(ds.features)
+    q, scales = quant_i8(ds.features)
+    deq = q.astype(np.float32) * scales[..., None]
+    labels = jnp.asarray(ds.labels.astype(np.float32))
+
+    s_ref, l_ref, c_ref = tr._train_step(
+        tr.state, jnp.asarray(deq), labels, jnp.ones((8,), jnp.float32)
+    )
+    scan_q8 = chunk_scan_over(
+        tr._train_step, append_ones=True, track_count=True, ingest="int8"
+    )
+    s_q8, l_q8, c_q8 = scan_q8(
+        tr.state, jnp.asarray(q)[None], jnp.asarray(scales)[None], labels[None]
+    )
+    assert float(l_ref) == pytest.approx(float(l_q8), rel=1e-6)
+    assert int(c_ref) == int(c_q8) == 8
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(s_ref.key)),
+        np.asarray(jax.random.key_data(s_q8.key)),
+    )
+
+
+def test_chunked_ingest_composes_with_dp_and_trainers():
+    """int8 chunked ingest runs on the CAE and detector trainers and under
+    shard_map DP on the supervised trainer (8-device virtual mesh)."""
+    from dfac_tpu.train.cae_loop import CAEConfig, CAETrainer
+    from dfac_tpu.train.detector_loop import DetectorConfig, DetectorTrainer
+
+    train_ds, dev_ds = _ds(7, n=24), _ds(8, 16)
+
+    r_dp = Trainer(
+        TrainConfig(
+            model="cnn1d", batch_size=8, epochs=1, in_features=16,
+            resident_chunk_batches=2, chunk_ingest="int8", data_parallel=4,
+        )
+    ).fit(train_ds, dev_ds)
+    assert np.isfinite(r_dp["history"][0].train_loss)
+
+    cae_cfg = CAEConfig(
+        batch_size=8, epochs=1, base_channels=4,
+        resident_chunk_batches=2, chunk_ingest="int8",
+    )
+    cae_tr = CAETrainer(cae_cfg)
+    r_cae = cae_tr.fit(train_ds, dev_ds)
+    assert np.isfinite(r_cae["history"][0].train_loss)
+
+    det_cfg = DetectorConfig(
+        batch_size=8, epochs=1, hidden=16,
+        resident_chunk_batches=2, chunk_ingest="int8",
+    )
+    det_tr = DetectorTrainer(det_cfg, in_channels=16)
+    r_det = det_tr.fit(train_ds, dev_ds)
+    assert np.isfinite(r_det["history"][0]["train_loss"])
+
+
+def test_chunk_ingest_config_validation():
+    with pytest.raises(ValueError, match="chunk_ingest"):
+        TrainConfig(model="cnn2d", chunk_ingest="fp8", resident_chunk_batches=2)
+    with pytest.raises(ValueError, match="resident_chunk_batches"):
+        TrainConfig(model="cnn2d", chunk_ingest="int8")
