@@ -9,7 +9,7 @@ dropout). Same paired design + honest gate as scripts/train_fast_ab.py:
   torch-parity baseline;
 * gate: PASS iff |mean Δ| <= 0.001 AND SE(Δ) <= 0.001, else
   FAIL / INCONCLUSIVE;
-* a deliberately degraded CONTROL (1/3 epoch budget) must FAIL.
+* a deliberately degraded CONTROL (50x learning rate) must FAIL.
 
 Quality metric: dev EER of each trainer's own scoring path — detector
 logits (reference ``src/dlqueen_model.py`` recipe), CAE per-sample
@@ -38,28 +38,49 @@ os.environ.setdefault(
 GATE_ABS = 0.001
 POWER_SE = 0.001
 
-# (name, head_dropout, encoder_dropout, bn_freeze_frac, epochs_frac)
+# (name, head_dropout, encoder_dropout, bn_freeze_frac, lr_mult)
+# The CONTROL is 50x the learning rate (unstable optimizer steps): an
+# undertrained control is useless on these fast-converging synthetic
+# tasks (see scripts/train_fast_ab.py calibration note).
 DET_RECIPES = [
     ("baseline", 0.3, 0.2, 0.0, 1.0),
     ("dropout-free", 0.0, 0.0, 0.0, 1.0),
     ("bn-freeze-tail", 0.3, 0.2, 0.5, 1.0),
     ("fast (drop0+freeze)", 0.0, 0.0, 0.5, 1.0),
-    ("CONTROL undertrained", 0.3, 0.2, 0.0, 1.0 / 3.0),
+    ("CONTROL lr-50x", 0.3, 0.2, 0.0, 50.0),
 ]
-# (name, bn_freeze_frac, epochs_frac) — the CAE has no dropout
+# (name, bn_freeze_frac, lr_mult) — the CAE has no dropout
 CAE_RECIPES = [
     ("baseline", 0.0, 1.0),
     ("fast (bn-freeze-tail)", 0.5, 1.0),
-    ("CONTROL undertrained", 0.0, 1.0 / 3.0),
+    ("CONTROL lr-50x", 0.0, 50.0),
 ]
 
 
-def corpus(n, seed, f_dim, t_dim, delta):
+def corpus(n, seed, f_dim, t_dim, delta, on_device=False):
+    """``on_device=True``: generate straight into HBM (the relay's h2d link
+    is ~5 MB/s; see scripts/train_fast_ab.py). Sizes must divide by the
+    batch so the eval paths never pad a tail (np padding would pull device
+    slices to host)."""
     from dfac_tpu.data.pipeline import ArrayDataset
 
+    labels = (np.arange(n) % 2).astype(np.int32)
+    if on_device:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def gen(key):
+            k1, k2 = jax.random.split(key)
+            feats = jax.random.normal(k1, (n, f_dim, t_dim), jnp.float32)
+            gain = jax.random.uniform(k2, (n, 1, 1), jnp.float32)
+            mask = jnp.asarray(labels == 1, jnp.float32)[:, None, None]
+            band = (jnp.arange(f_dim) < f_dim // 4).astype(jnp.float32)[None, :, None]
+            return feats + delta * gain * mask * band
+
+        return ArrayDataset([f"u{i}" for i in range(n)], gen(jax.random.key(seed)), labels)
     r = np.random.default_rng(seed)
     feats = r.normal(size=(n, f_dim, t_dim)).astype(np.float32)
-    labels = (np.arange(n) % 2).astype(np.int32)
     mask = labels == 1
     feats[mask, : f_dim // 4, :] += delta * r.random((mask.sum(), 1, 1)).astype(np.float32)
     return ArrayDataset([f"u{i}" for i in range(n)], feats, labels)
@@ -118,8 +139,19 @@ def main():
 
     print(f"devices: {jax.devices()}  geometry [{f_dim},{t_dim}] "
           f"train {n_train} / dev {n_dev}  delta {delta}", flush=True)
-    tr_ds = corpus(n_train, 1000, f_dim, t_dim, delta)
-    dv_ds = corpus(n_dev, 2000, f_dim, t_dim, delta)
+    on_dev = not args.toy
+    tr_ds = corpus(n_train, 1000, f_dim, t_dim, delta, on_device=on_dev)
+    dv_ds = corpus(n_dev, 2000, f_dim, t_dim, delta, on_device=on_dev)
+    # ONE normalizer for every CAE run (the reference fits exactly one per
+    # corpus); fitting it inside each run would fetch the device corpus to
+    # host every time on the relay
+    shared_normalizer = None
+    if "cae" in args.trainers:
+        from dfac_tpu.data.normalizer import build_normalizer
+
+        shared_normalizer = build_normalizer(
+            np.asarray(tr_ds.features), tr_ds.labels, swap_tf=True,
+        )
     t_start = time.time()
     lines = [
         "# Fast-numerics recipes on the detector and CAE trainers — paired A/B",
@@ -128,16 +160,16 @@ def main():
         f"[{f_dim},{t_dim}]), {args.seeds} seeds x {args.epochs} epochs,",
         f"device-resident, on {jax.devices()[0].platform}. Paired design +",
         f"gate as in results/train_fast_ab.md: PASS iff |mean Δ| <= {GATE_ABS}",
-        f"AND SE(Δ) <= {POWER_SE}; the CONTROL row (1/3 epochs) must FAIL.",
+        f"AND SE(Δ) <= {POWER_SE}; the CONTROL row (lr x50) must FAIL.",
     ]
     all_verdicts = {}
 
     if "detector" in args.trainers:
         det_results = {name: [] for name, *_ in DET_RECIPES}
         for seed in range(args.seeds):
-            for name, drop, enc_drop, frac, efrac in DET_RECIPES:
+            for name, drop, enc_drop, frac, lr_mult in DET_RECIPES:
                 cfg = DetectorConfig(
-                    epochs=max(int(round(args.epochs * efrac)), 1),
+                    epochs=args.epochs, lr=1e-3 * lr_mult,
                     batch_size=batch, hidden=hidden, dropout=drop,
                     encoder_dropout=enc_drop, bn_freeze_after_frac=frac,
                     ema=True, seed=seed, patience=10_000,
@@ -161,15 +193,15 @@ def main():
     if "cae" in args.trainers:
         cae_results = {name: [] for name, *_ in CAE_RECIPES}
         for seed in range(args.seeds):
-            for name, frac, efrac in CAE_RECIPES:
+            for name, frac, lr_mult in CAE_RECIPES:
                 cfg = CAEConfig(
-                    epochs=max(int(round(args.epochs * efrac)), 1),
+                    epochs=args.epochs, lr=1e-4 * lr_mult,
                     batch_size=batch, base_channels=base_ch,
                     bn_freeze_after_frac=frac, seed=seed,
                     early_stop=10_000, device_resident=True,
                 )
                 tr = CAETrainer(cfg)
-                tr.fit(tr_ds, dv_ds)
+                tr.fit(tr_ds, dv_ds, normalizer=shared_normalizer)
                 # anomaly EER: per-sample reconstruction MSE as the spoof
                 # score over the MIXED dev split (reference convention)
                 from dfac_tpu.train.cae_loop import cae_mse_scores

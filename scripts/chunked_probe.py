@@ -34,7 +34,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16384)
     ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--chunks", type=int, nargs="*", default=[4, 8, 16])
+    ap.add_argument("--chunks", type=int, nargs="*", default=[8])
+    ap.add_argument("--ingests", nargs="*", default=["f32", "bf16", "int8"],
+                    help="--chunk-ingest modes to sweep: on upload-bound "
+                         "rigs (this relay: ~5 MB/s h2d) rates should scale "
+                         "~1/bytes (f32 -> bf16 -> int8 = 1x, 2x, ~3.5x)")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--f-dim", type=int, default=180)
     ap.add_argument("--t-dim", type=int, default=321)
@@ -79,7 +83,11 @@ def main():
 
     resident = time_mode("device-resident epoch scan", device_resident=True)
     for g in args.chunks:
-        time_mode(f"chunked streaming G={g}", resident_chunk_batches=g)
+        for ingest in args.ingests:
+            time_mode(
+                f"chunked G={g} ingest={ingest}",
+                resident_chunk_batches=g, chunk_ingest=ingest,
+            )
     host = time_mode("per-batch host loop")
     print(f"resident/host ratio: {resident/host:.2f}x")
 

@@ -37,12 +37,17 @@ JOBS = [
     ("hybrid", [sys.executable, "scripts/hybrid_profile.py"], 3600),
     ("chunked", [sys.executable, "scripts/chunked_probe.py"], 3600),
     ("trainfast", [sys.executable, "scripts/train_fast_probe.py"], 3600),
+    ("trainfastdet", [sys.executable, "scripts/train_fast_probe.py", "--trainer", "detector"], 3600),
+    ("trainfastcae", [sys.executable, "scripts/train_fast_probe.py", "--trainer", "cae"], 3600),
     ("fusedfit", [sys.executable, "scripts/fused_fit_probe.py"], 3600),
+    ("int8", [sys.executable, "scripts/int8_probe.py"], 3600),
     ("servingsweep", [sys.executable, "scripts/serving_sweep.py"], 3600),
     ("bench", [sys.executable, "bench.py"], 3600),
     ("h2d", [sys.executable, "scripts/h2d_probe.py"], 3600),
     # quality sweeps (longer; run after the perf probes)
     ("geometry", [sys.executable, "scripts/bench_geometry.py"], 7200),
+    ("ab", [sys.executable, "scripts/train_fast_ab.py"], 10800),
+    ("abalt", [sys.executable, "scripts/alt_trainer_fast_ab.py"], 10800),
 ]
 
 

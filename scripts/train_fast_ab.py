@@ -48,22 +48,49 @@ GATE_ABS = 0.001  # BASELINE.md: dev EER within 0.1% absolute
 POWER_SE = 0.001  # study power requirement on SE of the paired delta
 
 RECIPES = [
-    # (name, dropout, bn_freeze_after_frac, epochs_frac)
+    # (name, dropout, bn_freeze_after_frac, lr_mult)
     ("baseline", 0.2, 0.0, 1.0),
     ("dropout-free", 0.0, 0.0, 1.0),
     ("dropout-0.05", 0.05, 0.0, 1.0),
     ("bn-freeze-tail", 0.2, 0.5, 1.0),
     ("fast (drop0+freeze)", 0.0, 0.5, 1.0),
-    ("CONTROL undertrained", 0.2, 0.0, 1.0 / 3.0),  # must FAIL the gate
+    # the negative control MUST fail the gate: 50x the learning rate makes
+    # Adam's steps unstable, damaging the converged decision margin. (An
+    # undertrained control was tried first and measured USELESS here —
+    # this task converges to its Bayes-ish error within ~4 epochs, so a
+    # 1/3-budget run matches baseline to 4 decimals; calibration log in
+    # results/train_fast_ab_calibration.md.)
+    ("CONTROL lr-50x", 0.2, 0.0, 50.0),
 ]
 
 
-def corpus(n: int, seed: int, f_dim: int, t_dim: int, delta: float):
+def corpus(n: int, seed: int, f_dim: int, t_dim: int, delta: float,
+           on_device: bool = False):
+    """Synthetic overlapping-class corpus. ``on_device=True`` generates the
+    feature tensor with jax.random directly in HBM — the bench-rig relay's
+    host->device link measures ~5 MB/s, so uploading multi-GB host corpora
+    dominates wall clock (first calibration attempt: >20 min in
+    device_put); the device-resident trainer adopts pre-placed arrays
+    without copying (``Trainer._resident_put`` is a no-op on them)."""
     from dfac_tpu.data.pipeline import ArrayDataset
 
+    labels = (np.arange(n) % 2).astype(np.int32)
+    if on_device:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def gen(key):
+            k1, k2 = jax.random.split(key)
+            feats = jax.random.normal(k1, (n, f_dim, t_dim), jnp.float32)
+            gain = jax.random.uniform(k2, (n, 1, 1), jnp.float32)
+            mask = jnp.asarray(labels == 1, jnp.float32)[:, None, None]
+            band = (jnp.arange(f_dim) < f_dim // 4).astype(jnp.float32)[None, :, None]
+            return feats + delta * gain * mask * band
+
+        return ArrayDataset([f"u{i}" for i in range(n)], gen(jax.random.key(seed)), labels)
     r = np.random.default_rng(seed)
     feats = r.normal(size=(n, f_dim, t_dim)).astype(np.float32)
-    labels = (np.arange(n) % 2).astype(np.int32)
     mask = labels == 1
     # weak band shift with a per-row random gain: classes overlap, so the
     # converged EER sits above 0 with detectable headroom in both directions
@@ -119,8 +146,9 @@ def main():
 
     # ONE corpus pair shared by every (seed, recipe): seeds vary init/dropout/
     # shuffle only, and the paired deltas subtract the shared task draw.
-    tr_ds = corpus(n_train, 1000, f_dim, t_dim, delta)
-    dv_ds = corpus(n_dev, 2000, f_dim, t_dim, delta)
+    on_dev = not args.toy  # TPU: generate in HBM (relay h2d ~5 MB/s)
+    tr_ds = corpus(n_train, 1000, f_dim, t_dim, delta, on_device=on_dev)
+    dv_ds = corpus(n_dev, 2000, f_dim, t_dim, delta, on_device=on_dev)
 
     def run(name: str, drop: float, frac: float, epochs: int, seed: int,
             lr: float | None = None, ds_pair=None) -> float:
@@ -141,8 +169,8 @@ def main():
         # that actually needs the epoch budget (undertrained must be worse)
         for d in (0.30, 0.40):
             pair = (
-                corpus(n_train, 1000, f_dim, t_dim, d),
-                corpus(n_dev, 2000, f_dim, t_dim, d),
+                corpus(n_train, 1000, f_dim, t_dim, d, on_device=not args.toy),
+                corpus(n_dev, 2000, f_dim, t_dim, d, on_device=not args.toy),
             )
             for lr in (3e-4, 1e-3):
                 e = run(f"base d={d} lr={lr}", 0.2, 0.0, args.epochs, 0, lr, pair)
@@ -154,9 +182,10 @@ def main():
     results: dict[str, list[float]] = {name: [] for name, *_ in RECIPES}
     t_start = time.time()
     for seed in range(args.seeds):
-        for name, drop, frac, efrac in RECIPES:
-            epochs = max(int(round(args.epochs * efrac)), 1)
-            results[name].append(run(name, drop, frac, epochs, seed))
+        for name, drop, frac, lr_mult in RECIPES:
+            results[name].append(
+                run(name, drop, frac, args.epochs, seed, lr=args.lr * lr_mult)
+            )
 
     base = np.asarray(results["baseline"])
     lines = [
@@ -175,7 +204,8 @@ def main():
         f"PASS iff |mean Δ| <= {GATE_ABS} (BASELINE.md 0.1%-absolute contract)",
         f"AND SE(Δ) <= {POWER_SE} (otherwise INCONCLUSIVE — an under-powered",
         "study must not certify). The CONTROL row is intentionally degraded",
-        "(1/3 epoch budget) and must FAIL — it demonstrates the gate rejects.",
+        "(50x learning rate: unstable Adam steps) and must FAIL — it",
+        "demonstrates the gate rejects.",
         "",
         "| recipe | per-seed best dev EER | mean ± std | paired Δ (mean ± SE) | gate |",
         "|---|---|---|---|---|",
@@ -221,7 +251,7 @@ def main():
     print(f"\nwrote {out}")
     for name, verdict in verdicts.items():
         print(f"{name:22s} {verdict}")
-    control = verdicts.get("CONTROL undertrained")
+    control = verdicts.get("CONTROL lr-50x")
     if control == "PASS":
         print("WARNING: negative control PASSED — the gate has no power on "
               "this corpus; recalibrate --delta/--epochs.", file=sys.stderr)
