@@ -32,6 +32,13 @@ STATUS (measured on one v5e):
 The XLA path (:func:`reference_conv_block` / the flax models) is therefore
 the production route; these kernels are retained as verified infrastructure
 for wide-channel variants where the fusion math flips.
+
+Version scope: the negative result above (and the Mosaic manual-DMA
+restriction) was measured on jax/jaxlib 0.9.0 + libtpu 0.0.34, last
+rechecked 2026-08-19 (round 5). Re-run ``scripts/pool_kernel_probe.py`` /
+the fused-block timing in ``scripts/cnn_stage_profile.py`` when the
+toolchain moves past those versions — Mosaic lowering quality is exactly
+the kind of thing a libtpu bump changes.
 """
 
 from __future__ import annotations
