@@ -130,6 +130,13 @@ def run_benchmark(
                         "train_loss": m.train_loss,
                         "dev_loss": m.dev_loss,
                         "dev_eer": m.dev_eer,
+                        # per-epoch wall: identical work per epoch means the
+                        # column attributes run-to-run wall swings — a few
+                        # stalled epochs = relay/host weather, a uniform
+                        # slowdown = the run itself (cf. the 4x seed-wall
+                        # spread in results/benchmark_v5e_geometry round 4)
+                        "epoch_seconds": m.epoch_seconds,
+                        "utt_per_sec": m.throughput_utt_s,
                     }
                 )
 
@@ -286,6 +293,17 @@ def _write_report(output_dir, run_rows, ranking_rows):
             f"{r['epochs_run']} | {r['wall_seconds']} | {r['mean_utt_per_sec']} | "
             f"{'yes' if r['overfit'] else 'no'} |"
         )
+    walls = [r["wall_seconds"] for r in run_rows if r["wall_seconds"]]
+    if walls and max(walls) > 1.5 * min(walls):
+        lines += [
+            "",
+            f"**Wall-clock spread:** {min(walls):.0f}-{max(walls):.0f} s across "
+            "runs of identical per-epoch work. Per-epoch `epoch_seconds` in "
+            "`model_epochs.csv` attributes it: a slow FIRST epoch is jit "
+            "compilation, isolated slow later epochs are host/relay stalls "
+            "(the accelerator can be remote on this rig), a uniform slowdown "
+            "is the run itself. EER columns are unaffected either way.",
+        ]
     lines += ["", "## Plots", ""]
     lines.append("- ranking: `model_ranking.png`")
     lines.append("- all-model curves: `training_curves.png`")

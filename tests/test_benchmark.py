@@ -68,6 +68,9 @@ def test_run_benchmark_outputs(tmp_path, rng):
     assert runs["best_dev_eer"].notna().all()
     ranking = pd.read_csv(os.path.join(out, "model_ranking.csv"))
     assert ranking["mean_best_eer"].is_monotonic_increasing
+    epochs = pd.read_csv(os.path.join(out, "model_epochs.csv"))
+    assert epochs["epoch_seconds"].notna().all() and (epochs["epoch_seconds"] > 0).all()
+    assert epochs["utt_per_sec"].notna().all()
     report = open(os.path.join(out, "benchmark_report.md")).read()
     assert "## Ranking" in report and "cnn1d" in report
     assert "## Plots" in report and "plots/cnn1d_curves.png" in report
