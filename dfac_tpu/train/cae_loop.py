@@ -639,7 +639,6 @@ class CAETrainer:
                     f"corpus) to divide over {dp} shards — pick a batch_size "
                     "with tail % data_parallel == 0, or truncate the corpus"
                 )
-            pass
         # step construction, parameterized on the BN-freeze-tail recipe:
         # frozen variants build lazily the first epoch past the boundary
         freeze_epoch = (

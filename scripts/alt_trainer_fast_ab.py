@@ -7,8 +7,9 @@ dropout). Same paired design + honest gate as scripts/train_fast_ab.py:
 * every recipe trains on the SAME corpus with the same seed; the gated
   statistic is the per-seed paired dev-EER delta vs that trainer's
   torch-parity baseline;
-* gate: PASS iff |mean Δ| <= 0.001 AND SE(Δ) <= 0.001, else
-  FAIL / INCONCLUSIVE;
+* three-way gate (shared ``gate_verdict`` from scripts/train_fast_ab.py):
+  FAIL when |mean Δ| − 2·SE > 0.001 regardless of power; PASS iff powered
+  (SE <= 0.001) and |mean Δ| <= 0.001; INCONCLUSIVE otherwise;
 * a deliberately degraded CONTROL (50x learning rate) must FAIL.
 
 Quality metric: dev EER of each trainer's own scoring path — detector
@@ -38,6 +39,14 @@ os.environ.setdefault(
 GATE_ABS = 0.001
 POWER_SE = 0.001
 
+# one source of truth for the three-way verdict (FAIL when confidently
+# outside the contract even under-powered; unit-tested in
+# tests/test_train_fast_gate.py) and for the synthetic corpus construction
+# (the paired A/Bs must measure the SAME task family or cross-report
+# comparisons break)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from train_fast_ab import corpus, gate_verdict  # noqa: E402
+
 # (name, head_dropout, encoder_dropout, bn_freeze_frac, lr_mult)
 # The CONTROL is 50x the learning rate (unstable optimizer steps): an
 # undertrained control is useless on these fast-converging synthetic
@@ -57,35 +66,6 @@ CAE_RECIPES = [
 ]
 
 
-def corpus(n, seed, f_dim, t_dim, delta, on_device=False):
-    """``on_device=True``: generate straight into HBM (the relay's h2d link
-    is ~5 MB/s; see scripts/train_fast_ab.py). Sizes must divide by the
-    batch so the eval paths never pad a tail (np padding would pull device
-    slices to host)."""
-    from dfac_tpu.data.pipeline import ArrayDataset
-
-    labels = (np.arange(n) % 2).astype(np.int32)
-    if on_device:
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def gen(key):
-            k1, k2 = jax.random.split(key)
-            feats = jax.random.normal(k1, (n, f_dim, t_dim), jnp.float32)
-            gain = jax.random.uniform(k2, (n, 1, 1), jnp.float32)
-            mask = jnp.asarray(labels == 1, jnp.float32)[:, None, None]
-            band = (jnp.arange(f_dim) < f_dim // 4).astype(jnp.float32)[None, :, None]
-            return feats + delta * gain * mask * band
-
-        return ArrayDataset([f"u{i}" for i in range(n)], gen(jax.random.key(seed)), labels)
-    r = np.random.default_rng(seed)
-    feats = r.normal(size=(n, f_dim, t_dim)).astype(np.float32)
-    mask = labels == 1
-    feats[mask, : f_dim // 4, :] += delta * r.random((mask.sum(), 1, 1)).astype(np.float32)
-    return ArrayDataset([f"u{i}" for i in range(n)], feats, labels)
-
-
 def gate_rows(results, recipes, lines):
     base = np.asarray(results[recipes[0][0]])
     verdicts = {}
@@ -97,10 +77,7 @@ def gate_rows(results, recipes, lines):
             d = v - base
             mean_d = float(d.mean())
             se_d = float(d.std(ddof=1) / np.sqrt(len(d))) if len(d) > 1 else float("inf")
-            if se_d > POWER_SE:
-                verdict = "INCONCLUSIVE"
-            else:
-                verdict = "PASS" if abs(mean_d) <= GATE_ABS else "FAIL"
+            verdict = gate_verdict(d)
             dstr = f"{mean_d:+.4f} ± {se_d:.4f}"
         verdicts[name] = verdict
         seeds_str = " ".join(f"{x:.4f}" for x in v)
@@ -159,8 +136,10 @@ def main():
         f"Synthetic overlapping-class corpus ({n_train} train / {n_dev} dev,",
         f"[{f_dim},{t_dim}]), {args.seeds} seeds x {args.epochs} epochs,",
         f"device-resident, on {jax.devices()[0].platform}. Paired design +",
-        f"gate as in results/train_fast_ab.md: PASS iff |mean Δ| <= {GATE_ABS}",
-        f"AND SE(Δ) <= {POWER_SE}; the CONTROL row (lr x50) must FAIL.",
+        "three-way gate as in results/train_fast_ab.md: FAIL when",
+        f"|mean Δ| − 2·SE > {GATE_ABS} regardless of power; PASS iff",
+        f"SE(Δ) <= {POWER_SE} AND |mean Δ| <= {GATE_ABS}; INCONCLUSIVE",
+        "otherwise. The CONTROL row (lr x50) must FAIL.",
     ]
     all_verdicts = {}
 
@@ -237,11 +216,11 @@ def main():
     for trainer, verdicts in all_verdicts.items():
         for name, verdict in verdicts.items():
             print(f"{trainer:9s} {name:22s} {verdict}")
-            if name.startswith("CONTROL") and verdict == "PASS":
+            if name.startswith("CONTROL") and verdict != "FAIL":
                 bad = True
     if bad:
-        print("WARNING: a negative control PASSED — the gate has no power "
-              "on this corpus; recalibrate.", file=sys.stderr)
+        print("WARNING: a negative control did not FAIL — the gate has no "
+              "power on this corpus; recalibrate.", file=sys.stderr)
         raise SystemExit(1)
 
 

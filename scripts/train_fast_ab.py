@@ -13,17 +13,23 @@ weaker than its documentation (an AND). This version fixes both:
 * **Paired design.** Every recipe trains on the SAME corpus with the same
   seed; the gated statistic is the per-seed paired delta vs baseline
   (recipe noise cancels task+init noise it shares with baseline).
-* **Gate:** PASS iff |mean paired Δ| <= 0.001 (the BASELINE.md contract)
-  AND the study is powered: SE(Δ) <= 0.001 — otherwise INCONCLUSIVE, never
-  a silent pass-through-noise.
-* **Negative control.** An intentionally degraded recipe (undertrained:
-  one third of the epoch budget) runs through the same gate and must
-  FAIL — the committed report demonstrates the gate can reject, not just
-  accept.
+* **Gate (three-way, see ``gate_verdict``):** FAIL when confidently
+  outside the contract (|mean paired Δ| − 2·SE > 0.001) regardless of
+  power; PASS iff powered (SE(Δ) <= 0.001) AND |mean Δ| <= 0.001;
+  INCONCLUSIVE otherwise — never a silent pass-through-noise, and never
+  an inconclusive shrug at a recipe the data already rejects.
+* **Negative control.** An intentionally degraded recipe (50x the
+  learning rate: unstable Adam steps damage the converged margin) runs
+  through the same gate and must FAIL — the committed report demonstrates
+  the gate can reject, not just accept. (An undertrained 1/3-budget
+  control was tried first and measured USELESS — this task converges to
+  its Bayes-ish floor within ~4 epochs; results/train_fast_ab_calibration.md.)
 * **Production geometry on TPU** (default): [180, 321] features, corpora
   sized so the dev-EER estimation noise sits at/below the contract
-  (EER ~ p => SE ~ sqrt(p(1-p)/n_dev); n_dev = 16384 at p ~ 0.01 gives
-  ~0.0008). `--toy` keeps the old CPU-scale smoke geometry.
+  (EER ~ p => SE ~ sqrt(p(1-p)/n_dev); the default n_dev = 12288 at
+  p ~ 0.05 gives ~0.002 per seed, and the PAIRED per-seed deltas the gate
+  consumes are far tighter — measured SE 0.0001-0.0002 across 5 seeds).
+  `--toy` keeps the old CPU-scale smoke geometry.
 
 Run on the TPU:   python scripts/train_fast_ab.py
 Smoke on CPU:     JAX_PLATFORMS=cpu python scripts/train_fast_ab.py --toy --seeds 2
@@ -46,6 +52,28 @@ os.environ.setdefault(
 
 GATE_ABS = 0.001  # BASELINE.md: dev EER within 0.1% absolute
 POWER_SE = 0.001  # study power requirement on SE of the paired delta
+
+
+def gate_verdict(deltas) -> str:
+    """Three-way verdict on a recipe's per-seed paired dev-EER deltas.
+
+    * FAIL — confidently outside the contract: |mean Δ| - 2·SE > GATE_ABS.
+      This applies even when the study is under-powered (SE > POWER_SE):
+      low power blocks *certifying* a recipe, never *rejecting* one the
+      data already places many SEs outside the gate (round-4's gate could
+      only say INCONCLUSIVE about its own negative control).
+    * INCONCLUSIVE — under-powered (SE > POWER_SE) and not confidently
+      outside: the study must not certify a pass through noise.
+    * PASS — powered and |mean Δ| <= GATE_ABS; FAIL otherwise.
+    """
+    d = np.asarray(deltas, dtype=np.float64)
+    mean_d = float(d.mean())
+    se_d = float(d.std(ddof=1) / np.sqrt(len(d))) if len(d) > 1 else float("inf")
+    if abs(mean_d) - 2.0 * se_d > GATE_ABS:
+        return "FAIL"
+    if se_d > POWER_SE:
+        return "INCONCLUSIVE"
+    return "PASS" if abs(mean_d) <= GATE_ABS else "FAIL"
 
 RECIPES = [
     # (name, dropout, bn_freeze_after_frac, lr_mult)
@@ -144,11 +172,12 @@ def main():
     print(f"devices: {jax.devices()}  geometry [{f_dim},{t_dim}] "
           f"train {n_train} / dev {n_dev}  delta {delta}  batch {batch}", flush=True)
 
-    # ONE corpus pair shared by every (seed, recipe): seeds vary init/dropout/
-    # shuffle only, and the paired deltas subtract the shared task draw.
     on_dev = not args.toy  # TPU: generate in HBM (relay h2d ~5 MB/s)
-    tr_ds = corpus(n_train, 1000, f_dim, t_dim, delta, on_device=on_dev)
-    dv_ds = corpus(n_dev, 2000, f_dim, t_dim, delta, on_device=on_dev)
+    tr_ds = dv_ds = None  # built after the --calibrate branch: calibration
+    # pairs its own corpora per delta, and a shared pair generated first
+    # would sit unused in HBM alongside them (two [n,180,321] f32 corpora
+    # ~4.3 GB — real pressure against the 16 GB v5e ceiling this script's
+    # sizing notes document)
 
     def run(name: str, drop: float, frac: float, epochs: int, seed: int,
             lr: float | None = None, ds_pair=None) -> float:
@@ -166,18 +195,26 @@ def main():
 
     if args.calibrate:
         # sweep (delta, lr): target a baseline EER ~0.01 with a schedule
-        # that actually needs the epoch budget (undertrained must be worse)
-        for d in (0.30, 0.40):
+        # that actually needs the epoch budget (undertrained must be worse).
+        # --delta / --lr, when given, narrow the sweep to those candidates.
+        deltas = (delta,) if args.delta is not None else (0.30, 0.40)
+        lrs = (args.lr,) if args.lr != ap.get_default("lr") else (3e-4, 1e-3)
+        for d in deltas:
             pair = (
                 corpus(n_train, 1000, f_dim, t_dim, d, on_device=not args.toy),
                 corpus(n_dev, 2000, f_dim, t_dim, d, on_device=not args.toy),
             )
-            for lr in (3e-4, 1e-3):
+            for lr in lrs:
                 e = run(f"base d={d} lr={lr}", 0.2, 0.0, args.epochs, 0, lr, pair)
                 u = run(f"short d={d} lr={lr}", 0.2, 0.0,
                         max(args.epochs // 3, 1), 0, lr, pair)
                 print(f"calib d={d} lr={lr}: baseline {e:.4f} undertrained {u:.4f}")
         return
+
+    # ONE corpus pair shared by every (seed, recipe): seeds vary init/dropout/
+    # shuffle only, and the paired deltas subtract the shared task draw.
+    tr_ds = corpus(n_train, 1000, f_dim, t_dim, delta, on_device=on_dev)
+    dv_ds = corpus(n_dev, 2000, f_dim, t_dim, delta, on_device=on_dev)
 
     results: dict[str, list[float]] = {name: [] for name, *_ in RECIPES}
     t_start = time.time()
@@ -200,12 +237,15 @@ def main():
         "only reproducible data for this study.",
         "",
         "Design: every recipe trains on the SAME corpus as baseline with the",
-        "same seed; the gated statistic is the per-seed PAIRED delta. Gate:",
-        f"PASS iff |mean Δ| <= {GATE_ABS} (BASELINE.md 0.1%-absolute contract)",
-        f"AND SE(Δ) <= {POWER_SE} (otherwise INCONCLUSIVE — an under-powered",
-        "study must not certify). The CONTROL row is intentionally degraded",
-        "(50x learning rate: unstable Adam steps) and must FAIL — it",
-        "demonstrates the gate rejects.",
+        "same seed; the gated statistic is the per-seed PAIRED delta. Gate",
+        f"(three-way): FAIL when |mean Δ| − 2·SE > {GATE_ABS} (confidently",
+        "outside the BASELINE.md 0.1%-absolute contract, regardless of",
+        f"power); PASS iff SE(Δ) <= {POWER_SE} AND |mean Δ| <= {GATE_ABS};",
+        "INCONCLUSIVE otherwise — an under-powered study must not certify,",
+        "but low power never shields a recipe the data already rejects.",
+        "The CONTROL row is intentionally degraded (50x learning rate:",
+        "unstable Adam steps) and must FAIL — it demonstrates the gate",
+        "rejects.",
         "",
         "| recipe | per-seed best dev EER | mean ± std | paired Δ (mean ± SE) | gate |",
         "|---|---|---|---|---|",
@@ -220,11 +260,7 @@ def main():
             d = v - base
             mean_d = float(d.mean())
             se_d = float(d.std(ddof=1) / np.sqrt(len(d))) if len(d) > 1 else float("inf")
-            powered = se_d <= POWER_SE
-            if not powered:
-                verdict = "INCONCLUSIVE"
-            else:
-                verdict = "PASS" if abs(mean_d) <= GATE_ABS else "FAIL"
+            verdict = gate_verdict(d)
             dstr = f"{mean_d:+.4f} ± {se_d:.4f}"
         verdicts[name] = verdict
         seeds_str = " ".join(f"{x:.4f}" for x in v)
@@ -252,9 +288,10 @@ def main():
     for name, verdict in verdicts.items():
         print(f"{name:22s} {verdict}")
     control = verdicts.get("CONTROL lr-50x")
-    if control == "PASS":
-        print("WARNING: negative control PASSED — the gate has no power on "
-              "this corpus; recalibrate --delta/--epochs.", file=sys.stderr)
+    if control != "FAIL":
+        print(f"WARNING: negative control got {control}, not FAIL — the gate "
+              "has no power on this corpus; recalibrate --delta/--epochs.",
+              file=sys.stderr)
         raise SystemExit(1)
 
 
