@@ -213,8 +213,12 @@ def make_fused_fit(
                 # fused-fit gap (3,357 -> 3,836 utt/s on v5e at n=16k,
                 # scripts/fused_fit_probe.py; per-epoch ran 5,262) — the
                 # residual is the cond that remains whenever early_stop is
-                # enabled, plus fused-program scheduling overhead
-                # (results/tpu_jobs/fusedfit.log)
+                # enabled, plus fused-program scheduling overhead; NB the
+                # freeze-boundary cond below interacts unpredictably with
+                # this (train-fast fused measured 4,286 with the dead cond
+                # present, 2,739 without — receipts in
+                # results/tpu_jobs/fusedfit.log). Fused is for dispatch
+                # amortization; per-epoch resident is the throughput path.
                 return run_epoch(carry, epoch)
             stopped = carry[-1]
             return jax.lax.cond(stopped, skip_epoch, run_epoch, carry, epoch)

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--recipes", default="baseline,train-fast",
+                    help="comma subset — each recipe pays ~10-20 min of cold "
+                         "relay-side compile, so re-runs can target one row")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +92,11 @@ def main():
         "baseline": dict(dropout=0.2, bn_freeze_after_frac=0.0),
         "train-fast": dict(dropout=0.0, bn_freeze_after_frac=0.5),
     }
+    wanted = [r.strip() for r in args.recipes.split(",") if r.strip()]
+    unknown = set(wanted) - set(recipes)
+    if unknown:
+        raise SystemExit(f"unknown --recipes {sorted(unknown)}; have {list(recipes)}")
+    recipes = {k: recipes[k] for k in wanted}
     for name, knobs in recipes.items():
         cfg = TrainConfig(
             batch_size=args.batch, epochs=args.epochs, lr=1e-3,
