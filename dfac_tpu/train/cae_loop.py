@@ -595,10 +595,16 @@ class CAETrainer:
         w_mat = jnp.asarray(w.reshape(n_b, bs))
         model = self.model
 
-        def run(variables, mean, std):
+        # the dev corpus MUST be a jit argument, not a closure: a closed-over
+        # device array is baked into the lowered module as a literal constant,
+        # and serializing a ~GB constant breaks remote-compile transports
+        # (measured: deterministic broken pipe on the bench-rig relay at
+        # bona-dev 4096x[180,321]; the epoch scan already passes feats_all
+        # as an argument for the same reason)
+        def run(variables, mean, std, feats_all):
             def body(acc, xs):
                 ii, ww = xs
-                x = constrain(jnp.take(feats, jnp.maximum(ii, 0), axis=0))
+                x = constrain(jnp.take(feats_all, jnp.maximum(ii, 0), axis=0))
                 xn = (jnp.transpose(x, (0, 2, 1)) - mean) / std
                 recon, _ = model.apply(variables, xn)
                 return acc + jnp.sum(reconstruction_mse(recon, xn) * constrain(ww)), None
@@ -607,7 +613,7 @@ class CAETrainer:
             return tot
 
         run = replicated_jit(run, mesh)
-        return lambda variables: float(run(variables, mean, std)) / n
+        return lambda variables: float(run(variables, mean, std, feats)) / n
 
     def fit(
         self,
